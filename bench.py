@@ -1,0 +1,178 @@
+"""Benchmark: CMC spectra/sec per chip (primary) + 10k-surrogate null wall.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+- Workload (north star, BASELINE.json): 64-ch EEG × 64-ch HD-EMG multitaper
+  CMC with leave-one-out jackknife CIs, 2-s windows, 50 % overlap @ 2048 Hz.
+  One "spectrum" = one EEG×EMG pair's coherence spectrum in one window, so
+  rate = n_windows × 64 × 64 / elapsed.
+- vs_baseline: same algorithm measured in numpy on this host's CPU, written
+  exactly the way the reference computes it (per-window taper loop +
+  K×(K−1) jackknife re-accumulation, signal_features.py:619-839/484-578),
+  extrapolated from a few windows.
+
+Secondary (stderr): 10 000 phase-randomised surrogate MSC nulls for a
+single EEG×EMG pair (BASELINE.json config 4).
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+FS = 2048.0
+SECONDS = 120.0
+WINDOW_SEC = 2.0
+OVERLAP = 0.5
+N_EEG = 64
+N_EMG = 64
+NW = 3
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def make_signals(seed=0):
+    rng = np.random.default_rng(seed)
+    n = int(FS * SECONDS)
+    t = np.arange(n) / FS
+    # band-limited shared stochastic drive (realistic beta-band CMC)
+    white = rng.standard_normal(n)
+    spec = np.fft.rfft(white)
+    f = np.fft.rfftfreq(n, 1 / FS)
+    spec[(f < 15) | (f > 30)] = 0
+    shared = np.fft.irfft(spec, n=n)
+    shared /= shared.std() + 1e-12
+    eeg = (0.4 * shared[:, None]
+           + rng.standard_normal((n, N_EEG))).astype(np.float32)
+    emg = (0.4 * shared[:, None]
+           + rng.standard_normal((n, N_EMG))).astype(np.float32)
+    return eeg, emg
+
+
+def cpu_reference_rate(eeg, emg, n_windows_to_time=2):
+    """Reference-style numpy CMC (taper loop + K×(K−1) jackknife)."""
+    import scipy.signal
+    from scipy.stats import t as t_dist
+
+    ws = int(WINDOW_SEC * FS)
+    hop = int(ws * (1 - OVERLAP))
+    k = int(2 * NW - 1)
+    tapers, ratios = scipy.signal.windows.dpss(M=ws, NW=NW, Kmax=k,
+                                               return_ratios=True)
+    tapers = tapers[ratios > 0.9]
+    tapers /= np.sqrt((tapers ** 2).sum(axis=1, keepdims=True))
+    K = len(tapers)
+    scale = 1.0 / (FS * ws)
+    n_freqs = ws // 2 + 1
+
+    t0 = time.perf_counter()
+    for w in range(n_windows_to_time):
+        s = w * hop
+        ew = eeg[s:s + ws]
+        mw = emg[s:s + ws]
+        psd_e_sum = np.zeros((n_freqs, N_EEG))
+        psd_m_sum = np.zeros((n_freqs, N_EMG))
+        csd_sum = np.zeros((n_freqs, N_EEG, N_EMG), dtype=np.complex128)
+        for taper in tapers:  # main accumulation (reference style)
+            ef = np.fft.rfft(ew * taper[:, None], axis=0)
+            mf = np.fft.rfft(mw * taper[:, None], axis=0)
+            psd_e_sum += np.abs(ef) ** 2 * scale
+            psd_m_sum += np.abs(mf) ** 2 * scale
+            csd_sum += np.conj(ef)[:, :, None] * mf[:, None, :] * scale
+        # jackknife: leave-one-out re-accumulation over K × (K−1) tapers
+        for leave_out in range(K):
+            pe = np.zeros((n_freqs, N_EEG), np.float32)
+            pm = np.zeros((n_freqs, N_EMG), np.float32)
+            cs = np.zeros((n_freqs, N_EEG, N_EMG), np.complex64)
+            for j, taper in enumerate(tapers):
+                if j == leave_out:
+                    continue
+                ef = np.fft.rfft(ew * taper[:, None], axis=0)
+                mf = np.fft.rfft(mw * taper[:, None], axis=0)
+                pe += np.abs(ef) ** 2 * scale
+                pm += np.abs(mf) ** 2 * scale
+                cs += np.conj(ef)[:, :, None] * mf[:, None, :] * scale
+            num = np.abs(cs / (K - 1)) ** 2
+            den = np.maximum((pe / (K - 1))[:, :, None]
+                             * (pm / (K - 1))[:, None, :], 1e-300)
+            _ = np.clip(num / den, 0, 1)
+        _ = t_dist  # CI arithmetic negligible vs the loops above
+    elapsed = time.perf_counter() - t0
+    rate = n_windows_to_time * N_EEG * N_EMG / elapsed
+    return rate, elapsed
+
+
+def tpu_rate(eeg, emg):
+    from mba_tpu.ops.coherence import multitaper_msc
+
+    # warm-up / compile on a slice (two chunk shapes: full + remainder)
+    _ = multitaper_msc(eeg[:int(FS * 12)], emg[:int(FS * 12)], FS, nw=NW,
+                       window_length_sec=WINDOW_SEC, overlap_frac=OVERLAP,
+                       use_jackknife=True, aggregate_emg_max=True,
+                       apply_independence_threshold=False)
+    t0 = time.perf_counter()
+    res = multitaper_msc(eeg, emg, FS, nw=NW,
+                         window_length_sec=WINDOW_SEC, overlap_frac=OVERLAP,
+                         use_jackknife=True, aggregate_emg_max=True,
+                         apply_independence_threshold=False)
+    elapsed = time.perf_counter() - t0
+    n_windows = res["metadata"]["n_windows"]
+    rate = n_windows * N_EEG * N_EMG / elapsed
+    return rate, elapsed, n_windows
+
+
+def surrogate_null_wall(n_surrogates=10_000):
+    from mba_tpu.ops.surrogate import msc_phase_randomized_null
+
+    rng = np.random.default_rng(3)
+    n = int(FS * SECONDS)
+    eeg = rng.standard_normal((n, 1)).astype(np.float32)
+    emg = rng.standard_normal((n, 1)).astype(np.float32)
+    # compile warm-up
+    msc_phase_randomized_null(eeg, emg, FS, n_surrogates=8,
+                              window_length_sec=WINDOW_SEC,
+                              surrogate_chunk=8, max_stat_only=True)
+    t0 = time.perf_counter()
+    res = msc_phase_randomized_null(eeg, emg, FS,
+                                    n_surrogates=n_surrogates,
+                                    window_length_sec=WINDOW_SEC,
+                                    surrogate_chunk=250,
+                                    max_stat_only=False)
+    elapsed = time.perf_counter() - t0
+    return elapsed, res
+
+
+def main():
+    eeg, emg = make_signals()
+    log(f"workload: {SECONDS:.0f}s @ {FS:.0f} Hz, {N_EEG}x{N_EMG} pairs, "
+        f"{WINDOW_SEC}s windows, jackknife CIs")
+
+    rate_tpu, t_tpu, n_windows = tpu_rate(eeg, emg)
+    log(f"TPU: {n_windows} windows in {t_tpu:.3f}s "
+        f"→ {rate_tpu:,.0f} spectra/s")
+
+    rate_cpu, t_cpu = cpu_reference_rate(eeg, emg)
+    log(f"CPU reference: {t_cpu:.2f}s for 2 windows "
+        f"→ {rate_cpu:,.0f} spectra/s")
+
+    try:
+        t_null, _ = surrogate_null_wall()
+        log(f"10k-surrogate single-pair null: {t_null:.2f}s wall")
+    except Exception as e:  # secondary metric must not break the primary
+        log(f"surrogate bench failed: {e!r}")
+
+    print(json.dumps({
+        "metric": "cmc_spectra_per_sec_per_chip",
+        "value": round(rate_tpu, 1),
+        "unit": "window-pair spectra/s (64x64, jackknife)",
+        "vs_baseline": round(rate_tpu / rate_cpu, 2),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

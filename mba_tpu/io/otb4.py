@@ -1,0 +1,231 @@
+"""OTB4 (OT Bioelettronica) archive import.
+
+Parity target: reference ``src/pipeline/otb_file_handling.py:178-444``.
+An ``.otb4`` file is a tar archive containing ``Tracks_000.xml`` metadata
+plus one or more ``.sig`` binary streams.  Semantics preserved bit-exactly:
+
+- XML: ``ArrayOfTrackInfo/TrackInfo`` records with Gain, ADC_Nbits,
+  ADC_Range, SamplingFrequency, SignalStreamPath, NumberOfChannels
+  (otb_file_handling.py:287-302) — parsed here with stdlib ElementTree
+  (the reference used xmltodict).
+- Binary: int32 Fortran-order (channels, samples) for Novecento+ multi-block
+  devices (otb_file_handling.py:337-384), int16 otherwise (:387-425).
+- ADC→mV: ``raw * ADC_Range / 2**ADC_Nbits * 1000 / Gain``
+  (otb_file_handling.py:361-368, 402-409).
+- CSV export: ``Time_s`` column + 1-based ``Channel_<i>`` columns
+  (otb_file_handling.py:117-146).
+"""
+from __future__ import annotations
+
+import os
+import shutil
+import tarfile
+import tempfile
+import xml.etree.ElementTree as ET
+from pathlib import Path
+from typing import Dict, Tuple
+
+import numpy as np
+import pandas as pd
+
+
+def _parse_tracks_xml(xml_path: str) -> list[dict]:
+    """Parse Tracks_000.xml into a list of per-track dicts (strings)."""
+    root = ET.parse(xml_path).getroot()
+
+    def strip_ns(tag: str) -> str:
+        return tag.split('}', 1)[-1]
+
+    tracks = []
+    for node in root:
+        if strip_ns(node.tag) != 'TrackInfo':
+            continue
+        rec = {}
+        for child in node.iter():
+            if len(child) == 0 and child.text is not None:
+                rec[strip_ns(child.tag)] = child.text
+        tracks.append(rec)
+    if not tracks:
+        raise FileNotFoundError("No TrackInfo records in Tracks_000.xml")
+    return tracks
+
+
+def _adc_to_mv(data: np.ndarray, track_slices: list[tuple[int, int, dict]]
+               ) -> np.ndarray:
+    """Apply per-track ADC→mV conversion in place."""
+    for start, stop, trk in track_slices:
+        factor = (float(trk['ADC_Range']) / (2 ** int(trk['ADC_Nbits']))
+                  * 1000.0 / float(trk['Gain']))
+        data[start:stop, :] *= np.float32(factor)
+    return data
+
+
+def read_otb4(otb4_path: str | Path, verbose: bool = False) -> dict:
+    """Read an OTB4 archive into memory.
+
+    Returns dict with:
+      - ``signals``: list of (name, data (channels, samples) float32 mV,
+        sampling_freq)
+      - ``device``, ``n_channels``, ``track_info``
+    """
+    otb4_path = str(otb4_path)
+    if not os.path.exists(otb4_path):
+        raise FileNotFoundError(f"OTB4 file not found: {otb4_path}")
+
+    tmp_dir = tempfile.mkdtemp(prefix=f"_tmp_otb4_{Path(otb4_path).stem}_")
+    try:
+        try:
+            with tarfile.open(otb4_path, 'r') as tar:
+                tar.extractall(tmp_dir, filter='data')
+        except tarfile.ReadError:
+            raise FileNotFoundError(
+                f"Failed to extract {otb4_path}. File may be corrupted.")
+
+        xml_files = [f for f in os.listdir(tmp_dir)
+                     if f.endswith('Tracks_000.xml')]
+        if not xml_files:
+            raise FileNotFoundError("No Tracks_000.xml found in archive.")
+        tracks = _parse_tracks_xml(os.path.join(tmp_dir, xml_files[0]))
+
+        device = tracks[0]['Device'].split(';')[0]
+        n_channel = [int(t['NumberOfChannels']) for t in tracks]
+        tot_ch = sum(n_channel)
+        paths = [t['SignalStreamPath'] for t in tracks]
+
+        sig_files = sorted(f for f in os.listdir(tmp_dir)
+                           if f.endswith('.sig'))
+        if not sig_files:
+            raise FileNotFoundError("No .sig files found in archive.")
+
+        signals = []
+        if device == 'Novecento+':
+            # multiple int32 blocks; first .sig is typically empty
+            for sig_name in sig_files[1:]:
+                blocks = [j for j, p in enumerate(paths) if p == sig_name]
+                if not blocks:
+                    if verbose:
+                        print(f"   Warning: No block found for {sig_name}")
+                    continue
+                n_ch = sum(n_channel[j] for j in blocks)
+                raw = np.fromfile(os.path.join(tmp_dir, sig_name),
+                                  dtype=np.int32)
+                try:
+                    data = raw.reshape((n_ch, -1), order='F').astype(
+                        np.float32)
+                except ValueError as e:
+                    raise ValueError(
+                        f"Data reshape failed for {sig_name}") from e
+                slices, cur = [], 0
+                for j in blocks:
+                    slices.append((cur, cur + n_channel[j], tracks[j]))
+                    cur += n_channel[j]
+                data = _adc_to_mv(data, slices)
+                fs = int(tracks[blocks[0]]['SamplingFrequency'])
+                signals.append((sig_name, data, fs))
+        else:
+            raw = np.fromfile(os.path.join(tmp_dir, sig_files[0]),
+                              dtype=np.int16)
+            if raw.size % tot_ch != 0:
+                raise ValueError(
+                    f"Data size {raw.size} not divisible by channel count "
+                    f"{tot_ch}")
+            data = raw.reshape((tot_ch, -1), order='F').astype(np.float32)
+            slices, cur = [], 0
+            for j, n in enumerate(n_channel):
+                slices.append((cur, cur + n, tracks[j]))
+                cur += n
+            data = _adc_to_mv(data, slices)
+            fs = int(tracks[0]['SamplingFrequency'])
+            signals.append(("Signal", data, fs))
+
+        return {"device": device, "n_channels": tot_ch,
+                "track_info": tracks, "signals": signals}
+    finally:
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+
+
+def _save_signal_to_csv(data: np.ndarray, time_axis: np.ndarray,
+                        base_filename: str, output_dir: str,
+                        channel_range: Tuple[int, int] | None = None,
+                        combine_channels: bool = True,
+                        output_files: list | None = None) -> str:
+    output_files = output_files if output_files is not None else []
+    n_ch = data.shape[0]
+    offset = 0
+    if channel_range is not None:
+        start, end = channel_range
+        if start < 0 or end > n_ch or start >= end:
+            raise ValueError(
+                f"Invalid channel_range ({start}, {end}). "
+                f"Must be 0 <= start < end <= {n_ch}")
+        data = data[start:end]
+        offset = start
+        n_ch = end - start
+
+    if combine_channels:
+        csv_data = {'Time_s': time_axis}
+        for ch in range(n_ch):
+            csv_data[f'Channel_{ch + offset + 1}'] = data[ch]
+        out = os.path.join(output_dir, f'{base_filename}.csv')
+        pd.DataFrame(csv_data).to_csv(out, index=False)
+        output_files.append(out)
+        return out
+
+    first = None
+    for ch in range(n_ch):
+        out = os.path.join(output_dir,
+                           f'{base_filename}_ch{ch + offset + 1}.csv')
+        pd.DataFrame({'Time_s': time_axis,
+                      f'Channel_{ch + offset + 1}': data[ch]}
+                     ).to_csv(out, index=False)
+        output_files.append(out)
+        first = first or out
+    return first
+
+
+def import_otb4_to_csv(otb4_path: str, output_dir: str,
+                       output_title: str | None = None,
+                       combine_channels: bool = True,
+                       channel_range: Tuple[int, int] | None = None,
+                       verbose: bool = True) -> Dict:
+    """Import an OTB4 file and export signals to CSV.
+
+    Drop-in equivalent of reference otb_file_handling.py:178-444 (same
+    metadata dict, filename scheme, and channel-range semantics).
+    """
+    os.makedirs(output_dir, exist_ok=True)
+    base = output_title if output_title else Path(otb4_path).stem
+
+    parsed = read_otb4(otb4_path, verbose=verbose)
+    tot_ch = parsed["n_channels"]
+    if channel_range is not None:
+        start, end = channel_range
+        if start < 0 or end > tot_ch or start >= end:
+            raise ValueError(
+                f"Invalid channel_range ({start}, {end}). Recording has "
+                f"{tot_ch} channels. Must be 0 <= start < end <= {tot_ch}")
+        n_exported = end - start
+    else:
+        n_exported = tot_ch
+
+    output_files: list[str] = []
+    fs = parsed["signals"][0][2]
+    for sig_name, data, fs in parsed["signals"]:
+        t = np.arange(data.shape[1]) / fs
+        out = _save_signal_to_csv(data, t, base, output_dir,
+                                  channel_range=channel_range,
+                                  combine_channels=combine_channels,
+                                  output_files=output_files)
+        if verbose:
+            print(f"   Saved: {os.path.basename(out)} "
+                  f"({n_exported} channels, {data.shape[1] / fs:.2f}s)")
+
+    return {
+        'device': parsed["device"],
+        'sampling_freq': fs,
+        'n_channels': tot_ch,
+        'n_channels_exported': n_exported,
+        'channel_range': channel_range,
+        'output_files': output_files,
+        'track_info': parsed["track_info"],
+    }

@@ -1,0 +1,345 @@
+"""Fused multitaper magnitude-squared coherence (CMC) kernel.
+
+Parity target: reference signal_features.py:619-839
+(``multitaper_magnitude_squared_coherence``) + :484-578
+(``jackknife_coherence_and_ci``) — the single most expensive computation in
+the reference (SURVEY.md §3.3).
+
+TPU-first redesign
+------------------
+The reference runs a Python loop over ~2 800 windows; per window it loops K
+tapers accumulating PSD/CSD, then re-runs a K×(K−1) leave-one-out loop for
+the jackknife.  Here:
+
+- Windows are a batch axis; a chunk of windows is one fused XLA program
+  (taper multiply → batched rFFT → cross-spectral outer product → coherence
+  → jackknife → CI) with no host round-trips.
+- The jackknife is computed **algebraically**: with per-taper PSD/CSD terms
+  ``x_k`` and their sum ``S``, every leave-one-out replicate is
+  ``(S − x_k)/(K−1)``.  This removes the reference's K× recompute while
+  producing bit-identical replicates (same floating-point formula, summed
+  once).
+- The EMG-axis max aggregation of ``compute_task_wise_aggregated_cmc``
+  (signal_features.py:992-1004 → 1132-1171) can be fused into the kernel
+  (``aggregate_emg_max=True``) so the huge 4-D (windows, freqs, EEG, EMG)
+  tensor never leaves the chip.
+
+Conventions copied from the reference:
+- taper set: k = 2·nw − 1 DPSS tapers, eigenvalue-filtered λ > 0.9,
+  L2-normalised (signal_features.py:669-678);
+- PSD = |rfft|²/(fs·N), CSD = conj(EEG)·EMG/(fs·N), **no** one-sided
+  doubling (signal_features.py:750-760);
+- coherence = |CSD̄|²/max(PSD̄ₑ·PSD̄ₘ, tiny) clipped to [0, 1];
+- jackknife: mean in coherence space, variance in Fisher-z space, Student-t
+  CI, CI clamped to contain the mean (signal_features.py:554-576).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Literal
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from scipy.stats import t as _t_dist
+
+from mba_tpu.ops.dpss import (dpss_windows, filtered_tapers,
+                              cmc_independence_threshold_host)
+from mba_tpu.ops.framing import frame_signal, window_grid
+
+_F32_TINY = np.float32(np.finfo(np.float32).tiny)
+_FISHER_EPS = np.float32(1e-10)
+
+
+def fisher_atanh(coherence, eps: float = 1e-10):
+    """Forward Fisher atanh: C² → z (reference signal_features.py:459-462)."""
+    c = jnp.clip(coherence, eps, 1 - eps)
+    return 0.5 * jnp.log((1 + c) / (1 - c))
+
+
+def inverse_fisher_atanh(z):
+    """Inverse Fisher atanh: z → C² (reference signal_features.py:465-467)."""
+    return jnp.tanh(z) ** 2
+
+
+def cmc_independence_threshold(K: int, alpha: float = 0.05) -> float:
+    """(1−alpha) quantile of the Beta(K−2, K−2) independence null."""
+    return cmc_independence_threshold_host(K, alpha)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("use_jackknife", "aggregate_emg_max"))
+def _msc_chunk_kernel(eeg_frames, emg_frames, tapers, inv_fs_n, t_crit,
+                      use_jackknife: bool, aggregate_emg_max: bool):
+    """Coherence for one chunk of windows.
+
+    eeg_frames: (w, S, E); emg_frames: (w, S, M); tapers: (K, S).
+    Returns dict of (w, F, E, M) arrays — or (w, F, E) when
+    ``aggregate_emg_max`` (indices aligned across mean/lower/upper exactly as
+    max_cmc_spectrograms_over_channels, signal_features.py:1132-1171).
+    """
+    K = tapers.shape[0]
+    # taper-expanded spectra: (w, K, F, ch)
+    eeg_fft = jnp.fft.rfft(
+        eeg_frames[:, None, :, :] * tapers[None, :, :, None], axis=2)
+    emg_fft = jnp.fft.rfft(
+        emg_frames[:, None, :, :] * tapers[None, :, :, None], axis=2)
+
+    psd_e_k = (eeg_fft.real ** 2 + eeg_fft.imag ** 2) * inv_fs_n  # (w,K,F,E)
+    psd_m_k = (emg_fft.real ** 2 + emg_fft.imag ** 2) * inv_fs_n  # (w,K,F,M)
+    csd_k = (jnp.conj(eeg_fft)[..., :, None] * emg_fft[..., None, :]
+             ) * inv_fs_n                                          # (w,K,F,E,M)
+
+    sum_e = psd_e_k.sum(axis=1)          # (w,F,E)
+    sum_m = psd_m_k.sum(axis=1)          # (w,F,M)
+    sum_c = csd_k.sum(axis=1)            # (w,F,E,M)
+
+    def _coh(csd, pe, pm):
+        num = csd.real ** 2 + csd.imag ** 2
+        den = jnp.maximum(pe[..., :, None] * pm[..., None, :], _F32_TINY)
+        return jnp.clip(num / den, 0.0, 1.0)
+
+    coherence_raw = _coh(sum_c / K, sum_e / K, sum_m / K)
+
+    if not use_jackknife:
+        out = {"coherence": coherence_raw}
+        if aggregate_emg_max:
+            out = {"coherence": coherence_raw.max(axis=-1)}
+        return out
+
+    # ---- algebraic leave-one-out jackknife over the taper axis ----
+    inv_km1 = 1.0 / (K - 1)
+    loo_c = (sum_c[:, None] - csd_k) * inv_km1       # (w,K,F,E,M)
+    loo_e = (sum_e[:, None] - psd_e_k) * inv_km1     # (w,K,F,E)
+    loo_m = (sum_m[:, None] - psd_m_k) * inv_km1     # (w,K,F,M)
+    coh_k = _coh(loo_c, loo_e, loo_m)                # (w,K,F,E,M)
+
+    coherence_mean = jnp.clip(coh_k.mean(axis=1), 0.0, 1.0)
+
+    z_k = fisher_atanh(coh_k, _FISHER_EPS)
+    z_mean = z_k.mean(axis=1)
+    z_var = ((K - 1) / K) * ((z_k - z_mean[:, None]) ** 2).sum(axis=1)
+    z_se = jnp.sqrt(z_var)
+
+    z_center = fisher_atanh(coherence_mean, _FISHER_EPS)
+    ci_lower = inverse_fisher_atanh(z_center - t_crit * z_se)
+    ci_upper = inverse_fisher_atanh(z_center + t_crit * z_se)
+    ci_lower = jnp.minimum(ci_lower, coherence_mean)
+    ci_upper = jnp.maximum(ci_upper, coherence_mean)
+
+    if aggregate_emg_max:
+        # joint max over EMG channels with CI-aligned indices
+        max_idx = jnp.argmax(coherence_mean, axis=-1, keepdims=True)
+        take = lambda a: jnp.take_along_axis(a, max_idx, axis=-1)[..., 0]
+        return {"coherence": take(coherence_mean),
+                "ci_lower": take(ci_lower),
+                "ci_upper": take(ci_upper)}
+
+    return {"coherence": coherence_mean,
+            "ci_lower": ci_lower,
+            "ci_upper": ci_upper}
+
+
+def _auto_chunk(window_samples: int, K: int, n_eeg: int, n_emg: int,
+                use_jackknife: bool, budget_bytes: float = 2.5e9) -> int:
+    """Pick a window-chunk size keeping transient HBM usage under budget."""
+    n_freqs = window_samples // 2 + 1
+    per_win = K * n_freqs * n_eeg * n_emg * (24 if use_jackknife else 10)
+    per_win += 2 * K * n_freqs * (n_eeg + n_emg) * 8
+    return max(1, int(budget_bytes // max(per_win, 1)))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("window_samples", "inner_chunk", "use_jackknife",
+                     "aggregate_emg_max"))
+def _msc_all_windows(eeg, emg, starts_padded, tapers, inv_fs_n, t_crit,
+                     window_samples, inner_chunk, use_jackknife,
+                     aggregate_emg_max):
+    """Entire (masked) window grid in ONE device program.
+
+    ``lax.map`` scans fixed-size window chunks so transient HBM stays
+    bounded while the host sees a single dispatch and a single download —
+    critical on tunneled TPUs where every host↔device copy pays tens of
+    milliseconds of latency at ~25 MB/s.
+    """
+    chunks = starts_padded.reshape((-1, inner_chunk))
+
+    def chunk_fn(cs):
+        ef = frame_signal(eeg, cs, window_samples)
+        mf = frame_signal(emg, cs, window_samples)
+        return _msc_chunk_kernel(ef, mf, tapers, inv_fs_n, t_crit,
+                                 use_jackknife, aggregate_emg_max)
+
+    out = jax.lax.map(chunk_fn, chunks)
+    return jax.tree_util.tree_map(
+        lambda o: o.reshape((-1,) + o.shape[2:]), out)
+
+
+def multitaper_msc(
+        eeg_array,
+        emg_array,
+        sampling_freq: float,
+        nw: float = 3,
+        window_length_sec: float = 1.0,
+        overlap_frac: float = 0.5,
+        eeg_axis: Literal[0, 1] = 0,
+        emg_axis: Literal[0, 1] = 0,
+        taper_eigenvalue_threshold: float = 0.90,
+        use_jackknife: bool = True,
+        jackknife_alpha: float = 0.05,
+        apply_independence_threshold: bool = True,
+        apply_bonferroni_correction: bool = False,
+        significance_level: float = 0.05,
+        window_mask: np.ndarray | None = None,
+        aggregate_emg_max: bool = False,
+        window_chunk: int | None = None,
+        verbose: bool = False,
+) -> dict:
+    """Multitaper magnitude-squared coherence over all EEG×EMG pairs.
+
+    Drop-in equivalent of the reference's
+    ``multitaper_magnitude_squared_coherence`` (signal_features.py:619-839):
+    same window grid, taper policy, masking semantics (skipped windows are
+    zeros on the full global grid) and output dictionary.  Additional
+    ``aggregate_emg_max`` fuses the EMG max-pooling on-chip.
+    """
+    eeg = np.asarray(eeg_array, dtype=np.float32)
+    emg = np.asarray(emg_array, dtype=np.float32)
+    if eeg.ndim != 2 or emg.ndim != 2:
+        raise ValueError("EEG/EMG arrays must be 2D")
+    if eeg_axis == 1:
+        eeg = eeg.T
+    if emg_axis == 1:
+        emg = emg.T
+    n_samples, n_eeg = eeg.shape
+    n_samples_m, n_emg = emg.shape
+    if n_samples != n_samples_m:
+        raise ValueError(
+            f"EEG and EMG must have same number of samples. "
+            f"Got EEG: {n_samples}, EMG: {n_samples_m}")
+
+    window_samples = int(window_length_sec * sampling_freq)
+    hop_samples = int(window_samples * (1 - overlap_frac))
+    if hop_samples <= 0:
+        raise ValueError("overlap_frac too high: hop_samples becomes <= 0")
+
+    tapers = filtered_tapers(window_samples, nw, taper_eigenvalue_threshold)
+    K = tapers.shape[0]
+    if use_jackknife and K < 2:
+        raise ValueError("jackknife requires at least 2 tapers")
+
+    starts, time_centers = window_grid(
+        n_samples, window_samples, hop_samples, sampling_freq,
+        convention="cmc")
+    n_windows = len(starts)
+    freqs = np.fft.rfftfreq(window_samples, d=1.0 / sampling_freq)
+    n_freqs = len(freqs)
+
+    if window_mask is not None:
+        window_mask = np.asarray(window_mask, dtype=bool)
+        if window_mask.shape != (n_windows,):
+            raise ValueError(
+                f"window_mask must have shape ({n_windows},), "
+                f"got {window_mask.shape}")
+        active = np.nonzero(window_mask)[0]
+    else:
+        active = np.arange(n_windows)
+    n_active = len(active)
+    if verbose:
+        print(f"window_mask: {n_active}/{n_windows} windows will be computed"
+              f" ({100 * n_active / max(n_windows, 1):.1f}%) | K={K} tapers")
+
+    t_crit = np.float32(_t_dist.ppf(1 - jackknife_alpha / 2, K - 1))
+    inv_fs_n = np.float32(1.0 / (sampling_freq * window_samples))
+    tapers_j = jnp.asarray(tapers, dtype=jnp.float32)
+
+    chunk = window_chunk or _auto_chunk(window_samples, K, n_eeg, n_emg,
+                                        use_jackknife)
+    chunk = int(min(chunk, max(n_active, 1)))
+
+    # frame only the active windows (compact), then scatter to the full grid
+    eeg_j = jnp.asarray(eeg)
+    emg_j = jnp.asarray(emg)
+
+    if n_active > 0:
+        # pad active starts to a chunk multiple (extra windows recompute the
+        # first start and are discarded) so one program covers everything
+        n_pad = (-n_active) % chunk
+        starts_padded = np.concatenate(
+            [starts[active], np.full(n_pad, starts[active[0]],
+                                     dtype=starts.dtype)])
+        device_out = _msc_all_windows(
+            eeg_j, emg_j, jnp.asarray(starts_padded, jnp.int32), tapers_j,
+            inv_fs_n, t_crit, window_samples, chunk, use_jackknife,
+            aggregate_emg_max)
+        # single host download per output array
+        compact = {key: np.asarray(val)[:n_active]
+                   for key, val in device_out.items()}
+    else:
+        shape_tail = (n_freqs, n_eeg) if aggregate_emg_max \
+            else (n_freqs, n_eeg, n_emg)
+        compact = {"coherence": np.zeros((0,) + shape_tail, np.float32)}
+        if use_jackknife:
+            compact["ci_lower"] = compact["coherence"].copy()
+            compact["ci_upper"] = compact["coherence"].copy()
+
+    out_tail = compact["coherence"].shape[1:]
+    full = {key: np.zeros((n_windows,) + out_tail, dtype=np.float32)
+            for key in compact}
+    for key in compact:
+        full[key][active] = compact[key]
+
+    result = {
+        "coherence_raw": full["coherence"],
+        "time_centers": time_centers,
+        "freqs": freqs,
+        "metadata": {
+            "K_tapers": int(K),
+            "n_windows": int(n_windows),
+            "n_active_windows": int(n_active),
+            "window_length_sec": window_length_sec,
+            "overlap_frac": overlap_frac,
+            "use_jackknife": use_jackknife,
+            "apply_independence_threshold": apply_independence_threshold,
+            "apply_bonferroni_correction": apply_bonferroni_correction,
+            "significance_level": significance_level,
+        },
+    }
+    if use_jackknife:
+        result["coherence_ci_lower"] = full["ci_lower"]
+        result["coherence_ci_upper"] = full["ci_upper"]
+
+    if apply_independence_threshold:
+        n_comp = n_eeg * n_emg
+        alpha_adj = (max(significance_level / n_comp, 1e-10)
+                     if apply_bonferroni_correction else significance_level)
+        it = cmc_independence_threshold_host(K, alpha=alpha_adj)
+        result["coherence_significant"] = result["coherence_raw"] > it
+        result["metadata"]["IT_unadjusted"] = float(
+            cmc_independence_threshold_host(K, alpha=significance_level))
+        if apply_bonferroni_correction:
+            result["metadata"]["IT_bonferroni"] = float(it)
+            result["metadata"]["n_comparisons"] = n_comp
+        result["metadata"]["n_significant"] = int(
+            result["coherence_significant"].sum())
+    return result
+
+
+def max_cmc_over_channels(cmc_array, lower=None, upper=None,
+                          channel_ax: int = 3, verbose: bool = False):
+    """Joint EMG-channel max with CI-aligned indices.
+
+    Parity: reference signal_features.py:1132-1171.  (Prefer passing
+    ``aggregate_emg_max=True`` to :func:`multitaper_msc`, which fuses this
+    on-chip; this host version exists for stored spectrograms.)
+    """
+    max_idx = np.argmax(cmc_array, axis=channel_ax)
+    take = lambda a: np.take_along_axis(
+        a, np.expand_dims(max_idx, channel_ax), axis=channel_ax
+    ).squeeze(axis=channel_ax)
+    maxed = take(cmc_array)
+    if lower is None or upper is None:
+        return maxed
+    return maxed, take(lower), take(upper)

@@ -1,0 +1,178 @@
+"""Coherence kernel vs an independent numpy golden model.
+
+The golden model re-implements the mathematical contract of reference
+signal_features.py:619-839 (window loop, taper accumulation of PSD/CSD,
+MSC, leave-one-out jackknife with Fisher-z CIs) directly from the formulas.
+"""
+import numpy as np
+import pytest
+import scipy.signal
+from scipy.stats import beta, t as t_dist
+
+from mba_tpu.ops.coherence import (multitaper_msc, max_cmc_over_channels,
+                                   cmc_independence_threshold)
+
+
+def _golden_msc(eeg, emg, fs, nw=3, window_length_sec=1.0, overlap_frac=0.5,
+                eig_thresh=0.9, jackknife_alpha=0.05, window_mask=None):
+    """Plain numpy multitaper MSC + jackknife (formulas of the reference)."""
+    n, n_eeg = eeg.shape
+    _, n_emg = emg.shape
+    ws = int(window_length_sec * fs)
+    hop = int(ws * (1 - overlap_frac))
+    k = int(2 * nw - 1)
+    tapers, ratios = scipy.signal.windows.dpss(M=ws, NW=nw, Kmax=k,
+                                               return_ratios=True)
+    tapers = tapers[ratios > eig_thresh]
+    tapers = tapers / np.sqrt((tapers ** 2).sum(axis=1, keepdims=True))
+    K = len(tapers)
+    n_windows = (n - ws) // hop + 1
+    n_freqs = ws // 2 + 1
+    scale = 1.0 / (fs * ws)
+
+    coh = np.zeros((n_windows, n_freqs, n_eeg, n_emg))
+    lo = np.zeros_like(coh)
+    hi = np.zeros_like(coh)
+    t_crit = t_dist.ppf(1 - jackknife_alpha / 2, K - 1)
+
+    def fisher(c):
+        c = np.clip(c, 1e-10, 1 - 1e-10)
+        return 0.5 * np.log((1 + c) / (1 - c))
+
+    for w in range(n_windows):
+        if window_mask is not None and not window_mask[w]:
+            continue
+        s = w * hop
+        ew, mw = eeg[s:s + ws], emg[s:s + ws]
+        E = np.stack([np.fft.rfft(ew * tp[:, None], axis=0) for tp in tapers])
+        M = np.stack([np.fft.rfft(mw * tp[:, None], axis=0) for tp in tapers])
+        pe_k = np.abs(E) ** 2 * scale            # (K,F,E)
+        pm_k = np.abs(M) ** 2 * scale
+        cs_k = np.conj(E)[:, :, :, None] * M[:, :, None, :] * scale
+
+        # leave-one-out replicates
+        reps = np.zeros((K, n_freqs, n_eeg, n_emg))
+        for j in range(K):
+            keep = [i for i in range(K) if i != j]
+            pe = pe_k[keep].mean(axis=0)
+            pm = pm_k[keep].mean(axis=0)
+            cs = cs_k[keep].mean(axis=0)
+            num = np.abs(cs) ** 2
+            den = np.maximum(pe[:, :, None] * pm[:, None, :],
+                             np.finfo(np.float64).tiny)
+            reps[j] = np.clip(num / den, 0, 1)
+        cmean = np.clip(reps.mean(axis=0), 0, 1)
+        z = fisher(reps)
+        zv = (K - 1) / K * ((z - z.mean(axis=0)) ** 2).sum(axis=0)
+        zc = fisher(cmean)
+        lo_w = np.tanh(zc - t_crit * np.sqrt(zv)) ** 2
+        hi_w = np.tanh(zc + t_crit * np.sqrt(zv)) ** 2
+        coh[w] = cmean
+        lo[w] = np.minimum(lo_w, cmean)
+        hi[w] = np.maximum(hi_w, cmean)
+    return coh, lo, hi
+
+
+def _coupled_signals(fs=256, seconds=6, n_eeg=2, n_emg=3, seed=1):
+    """EEG/EMG pairs with genuine 20 Hz coherence plus noise."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(fs * seconds)) / fs
+    shared = np.sin(2 * np.pi * 20 * t + rng.uniform(0, 2 * np.pi))
+    eeg = np.stack([shared + 0.8 * rng.standard_normal(len(t))
+                    for _ in range(n_eeg)], axis=1)
+    emg = np.stack([shared + 0.8 * rng.standard_normal(len(t))
+                    for _ in range(n_emg)], axis=1)
+    return eeg, emg
+
+
+class TestMultitaperMsc:
+    def test_matches_golden_model(self):
+        eeg, emg = _coupled_signals()
+        res = multitaper_msc(eeg, emg, 256, window_length_sec=1.0,
+                             use_jackknife=True)
+        g_coh, g_lo, g_hi = _golden_msc(eeg, emg, 256)
+        assert res["coherence_raw"].shape == g_coh.shape
+        np.testing.assert_allclose(res["coherence_raw"], g_coh,
+                                   rtol=1e-3, atol=2e-4)
+        np.testing.assert_allclose(res["coherence_ci_lower"], g_lo,
+                                   rtol=1e-3, atol=2e-3)
+        np.testing.assert_allclose(res["coherence_ci_upper"], g_hi,
+                                   rtol=1e-3, atol=2e-3)
+
+    def test_detects_coupling_frequency(self):
+        eeg, emg = _coupled_signals(seconds=10)
+        res = multitaper_msc(eeg, emg, 256, window_length_sec=2.0,
+                             use_jackknife=False,
+                             apply_independence_threshold=False)
+        spec = res["coherence_raw"].mean(axis=(0, 2, 3))
+        peak_freq = res["freqs"][np.argmax(spec)]
+        assert abs(peak_freq - 20.0) <= 1.0
+
+    def test_ci_bounds_contain_mean(self):
+        eeg, emg = _coupled_signals()
+        res = multitaper_msc(eeg, emg, 256, use_jackknife=True)
+        assert np.all(res["coherence_raw"] >= res["coherence_ci_lower"])
+        assert np.all(res["coherence_raw"] <= res["coherence_ci_upper"])
+        assert np.all(res["coherence_raw"] >= 0)
+        assert np.all(res["coherence_raw"] <= 1)
+
+    def test_window_mask_zeros_and_grid(self):
+        eeg, emg = _coupled_signals()
+        n = eeg.shape[0]
+        ws, hop = 256, 128
+        n_windows = (n - ws) // hop + 1
+        mask = np.zeros(n_windows, dtype=bool)
+        mask[3:7] = True
+        res = multitaper_msc(eeg, emg, 256, window_length_sec=1.0,
+                             window_mask=mask, use_jackknife=True)
+        # masked-out windows are exact zeros; time grid fully populated
+        assert np.all(res["coherence_raw"][~mask] == 0)
+        assert np.any(res["coherence_raw"][mask] > 0)
+        expected_tc = (np.arange(n_windows) * hop + ws / 2) / 256
+        np.testing.assert_allclose(res["time_centers"], expected_tc)
+        assert res["metadata"]["n_active_windows"] == 4
+
+    def test_mask_shape_validation(self):
+        eeg, emg = _coupled_signals()
+        with pytest.raises(ValueError, match="window_mask"):
+            multitaper_msc(eeg, emg, 256, window_mask=np.ones(3, dtype=bool))
+
+    def test_sample_mismatch_raises(self):
+        eeg, emg = _coupled_signals()
+        with pytest.raises(ValueError, match="same number of samples"):
+            multitaper_msc(eeg[:-10], emg, 256)
+
+    def test_fused_emg_max_aggregation(self):
+        eeg, emg = _coupled_signals()
+        full = multitaper_msc(eeg, emg, 256, use_jackknife=True,
+                              apply_independence_threshold=False)
+        fused = multitaper_msc(eeg, emg, 256, use_jackknife=True,
+                               aggregate_emg_max=True,
+                               apply_independence_threshold=False)
+        m, l, u = max_cmc_over_channels(full["coherence_raw"],
+                                        full["coherence_ci_lower"],
+                                        full["coherence_ci_upper"])
+        np.testing.assert_allclose(fused["coherence_raw"], m, atol=1e-6)
+        np.testing.assert_allclose(fused["coherence_ci_lower"], l, atol=1e-6)
+        np.testing.assert_allclose(fused["coherence_ci_upper"], u, atol=1e-6)
+
+    def test_chunking_invariance(self):
+        eeg, emg = _coupled_signals(seconds=4)
+        a = multitaper_msc(eeg, emg, 256, window_chunk=1)["coherence_raw"]
+        b = multitaper_msc(eeg, emg, 256, window_chunk=64)["coherence_raw"]
+        np.testing.assert_allclose(a, b, atol=1e-6)
+
+    def test_independence_threshold(self):
+        assert cmc_independence_threshold(5, 0.05) == pytest.approx(
+            beta.ppf(0.95, 3, 3))
+        eeg, emg = _coupled_signals()
+        res = multitaper_msc(eeg, emg, 256, use_jackknife=False,
+                             apply_independence_threshold=True,
+                             significance_level=0.2)
+        it = res["metadata"]["IT_unadjusted"]
+        it02 = cmc_independence_threshold(res["metadata"]["K_tapers"], 0.2)
+        np.testing.assert_allclose(
+            res["coherence_significant"],
+            res["coherence_raw"] > it02)
+        assert it == pytest.approx(
+            cmc_independence_threshold(res["metadata"]["K_tapers"], 0.2))

@@ -1,0 +1,110 @@
+"""Surrogate engine tests: fault injection parity + phase-randomisation
+properties + null-threshold sanity."""
+import numpy as np
+import jax
+
+from mba_tpu.ops.surrogate import (insert_bad_channels, add_noise_to_channels,
+                                   generate_noise, phase_randomize,
+                                   msc_phase_randomized_null)
+
+
+class TestBadChannels:
+    def test_identity_at_unity_scale(self):
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((500, 8))
+        out, inds = insert_bad_channels(x, axis=0, n_channels=3,
+                                        scale_range=(1.0, 1.0), rng=rng)
+        np.testing.assert_allclose(out, x)
+        assert len(inds) == 3
+
+    def test_only_listed_channels_modified(self):
+        rng = np.random.default_rng(1)
+        x = rng.standard_normal((500, 8))
+        out, inds = insert_bad_channels(x, axis=0, n_channels=2, rng=rng)
+        changed = {c for c in range(8)
+                   if not np.allclose(out[:, c], x[:, c])}
+        assert changed == {i - 1 for i in inds}  # returned inds are 1-based
+        assert len(changed) == 2
+
+
+class TestNoise:
+    def test_white_noise_rms(self):
+        n = generate_noise((10000,), "white", 2.5,
+                           np.random.default_rng(0))
+        assert abs(np.sqrt(np.mean(n ** 2)) - 2.5) < 1e-9
+
+    def test_pink_noise_spectrum_slope(self):
+        n = generate_noise((2 ** 14,), "pink", 1.0, np.random.default_rng(0))
+        f = np.fft.rfftfreq(len(n))
+        p = np.abs(np.fft.rfft(n)) ** 2
+        lo = p[(f > 0.001) & (f < 0.01)].mean()
+        hi = p[(f > 0.1) & (f < 0.5)].mean()
+        assert lo > 5 * hi  # 1/f: low frequencies dominate
+
+    def test_target_snr(self):
+        rng = np.random.default_rng(2)
+        x = rng.standard_normal((20000, 4))
+        noisy = add_noise_to_channels(x, noise_db=0.0, channels=[1],
+                                      random_seed=3)
+        added = noisy[:, 1] - x[:, 1]
+        snr = 10 * np.log10(np.mean(x[:, 1] ** 2) / np.mean(added ** 2))
+        assert abs(snr) < 0.5
+        np.testing.assert_allclose(noisy[:, 0], x[:, 0])
+
+
+class TestPhaseRandomize:
+    def test_preserves_amplitude_spectrum(self):
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((512, 2)).astype(np.float32)
+        surr = np.asarray(phase_randomize(jax.random.PRNGKey(0),
+                                          x, n_surrogates=4))
+        for s in surr:
+            np.testing.assert_allclose(
+                np.abs(np.fft.rfft(s, axis=0)),
+                np.abs(np.fft.rfft(x, axis=0)), rtol=2e-3, atol=2e-3)
+
+    def test_surrogates_differ_and_real(self):
+        x = np.random.default_rng(1).standard_normal((256, 1)).astype(
+            np.float32)
+        surr = np.asarray(phase_randomize(jax.random.PRNGKey(1), x, 3))
+        assert not np.allclose(surr[0], surr[1])
+        assert np.isrealobj(surr)
+
+
+class TestMscNull:
+    def test_null_destroys_true_coherence(self):
+        # NOTE: the shared component must be STOCHASTIC — phase
+        # randomisation preserves any deterministic narrowband component
+        # (a phase rotation of a sine is a time shift, and MSC is
+        # shift-invariant), so a pure shared sine would survive the null.
+        fs, seconds = 128, 8
+        rng = np.random.default_rng(5)
+        n = fs * seconds
+        # band-limited stochastic shared drive around 16 Hz:
+        white = rng.standard_normal(n)
+        spec = np.fft.rfft(white)
+        f = np.fft.rfftfreq(n, 1 / fs)
+        spec[(f < 12) | (f > 20)] = 0
+        shared = np.fft.irfft(spec, n=n)
+        shared /= shared.std()
+        eeg = (shared + 0.5 * rng.standard_normal(n))[:, None]
+        emg = (shared + 0.5 * rng.standard_normal(n))[:, None]
+        res = msc_phase_randomized_null(
+            eeg, emg, fs, n_surrogates=100, window_length_sec=1.0,
+            quantiles=(0.95,), surrogate_chunk=50, seed=0)
+        f16 = np.argmin(np.abs(res["freqs"] - 16))
+        observed_peak = res["observed"][f16, 0, 0]
+        null_thresh = res["null_quantiles"][0.95][f16, 0, 0]
+        assert observed_peak > null_thresh  # true coupling is significant
+        # null thresholds bounded away from 1 (coherence destroyed)
+        assert res["null_quantiles"][0.95].mean() < observed_peak
+
+    def test_max_stat_mode(self):
+        rng = np.random.default_rng(6)
+        eeg = rng.standard_normal((512, 2)).astype(np.float32)
+        emg = rng.standard_normal((512, 2)).astype(np.float32)
+        res = msc_phase_randomized_null(
+            eeg, emg, 128, n_surrogates=64, window_length_sec=1.0,
+            quantiles=(0.95,), surrogate_chunk=32, max_stat_only=True)
+        assert res["max_stat"].shape == (64,)
+        assert 0 < res["null_quantiles"][0.95] <= 1

@@ -1,0 +1,165 @@
+"""Artifact store, TxtConfig, and OTB4 importer tests."""
+import json
+import os
+import tarfile
+import time
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from mba_tpu.utils.file_management import (file_title, most_recent_file,
+                                           assert_dir, TxtConfig,
+                                           fetch_json_recursively)
+from mba_tpu.io.otb4 import read_otb4, import_otb4_to_csv
+
+
+class TestFileTitle:
+    def test_format(self):
+        t = file_title("My Artifact", ".npy")
+        assert t.endswith(" My Artifact.npy")
+        assert t[4] == '-' and t[7] == '-' and t[13] == '_'
+
+    def test_short(self):
+        t = file_title("X", ".csv", short=True)
+        assert len(t.split(" ")[0]) == 8
+
+
+class TestMostRecentFile:
+    def test_resolves_newest_by_title(self, tmp_path):
+        (tmp_path / "2024-01-01 10_00_00 Result A.npy").touch()
+        (tmp_path / "2024-06-01 10_00_00 Result A.npy").touch()
+        (tmp_path / "2024-03-01 10_00_00 Result B.npy").touch()
+        newest = most_recent_file(tmp_path, ".npy", ["Result", "A"])
+        assert newest.name.startswith("2024-06-01")
+
+    def test_keyword_filtering_and_errors(self, tmp_path):
+        (tmp_path / "2024-01-01 10_00_00 Foo.csv").touch()
+        with pytest.raises(ValueError):
+            most_recent_file(tmp_path, ".csv", ["Bar"])
+        with pytest.raises(ValueError):
+            most_recent_file(tmp_path / "nodir", ".csv")
+
+    def test_dict_return_sorted_desc(self, tmp_path):
+        for d in ["2024-01-01", "2024-02-01", "2024-03-01"]:
+            (tmp_path / f"{d} 10_00_00 R.npy").touch()
+        res = most_recent_file(tmp_path, ".npy", return_type="dict")
+        names = [f.name for f in res["files"]]
+        assert names == sorted(names, reverse=True)
+
+    def test_invalid_date_prefix_skipped(self, tmp_path):
+        (tmp_path / "not-a-date R.npy").touch()
+        (tmp_path / "2024-01-01 10_00_00 R.npy").touch()
+        assert most_recent_file(tmp_path, ".npy").name.startswith("2024")
+
+
+class TestTxtConfig:
+    def test_roundtrip(self, tmp_path):
+        p = tmp_path / "config.txt"
+        p.write_text("# comment\nRate --- 2048\nBands --- 1.0, 2.0, 3.0\n"
+                     "Flag --- True\nName --- hello\n")
+        cfg = TxtConfig(p)
+        assert cfg.get_as_type("Rate", "int") == 2048
+        assert cfg.get_as_type("Bands", "float_list") == [1.0, 2.0, 3.0]
+        assert cfg.get_as_type("Flag", "bool") is True
+        assert cfg.get_as_type("Name", "str") == "hello"
+
+    def test_write_protection_and_change(self, tmp_path):
+        p = tmp_path / "config.txt"
+        p.write_text("A --- 1\n")
+        with pytest.raises(ValueError):
+            TxtConfig(p).change_entry("A", 2)
+        rw = TxtConfig(p, read_only_mode=False)
+        rw.change_entry("A", 2)
+        assert TxtConfig(p).get_as_type("A", "int") == 2
+
+    def test_malformed_line(self, tmp_path):
+        p = tmp_path / "bad.txt"
+        p.write_text("no separator here\n")
+        with pytest.raises(ValueError, match="PROPERTY_NAME"):
+            TxtConfig(p).settings_dict
+
+
+class TestFetchJson:
+    def test_recursive_collection(self, tmp_path):
+        sub = tmp_path / "sub-01"
+        sub.mkdir()
+        (sub / "2024-01-01 10_00_00 Trial Summary.json").write_text(
+            json.dumps({"score": 5}))
+        (tmp_path / "2024-01-02 11_00_00 Trial Summary.json").write_text(
+            json.dumps({"score": 7}))
+        vals = fetch_json_recursively(tmp_path, "Trial Summary", "score")
+        assert sorted(vals) == [5, 7]
+        tv = fetch_json_recursively(tmp_path, "Trial Summary", "score",
+                                    with_time_from_file_title=True)
+        assert tv == {"2024-01-01 10_00_00": 5, "2024-01-02 11_00_00": 7}
+
+
+def _make_otb4(path, n_tracks=2, n_ch_per=4, n_samples=100, fs=2048,
+               gain=150.0, bits=16, adc_range=5.0, device="Quattrocento"):
+    """Build a synthetic .otb4 tar archive (int16 single-sig layout)."""
+    tracks_xml = ['<?xml version="1.0"?>', '<ArrayOfTrackInfo>']
+    for i in range(n_tracks):
+        tracks_xml.append(f"""<TrackInfo>
+  <Device>{device};extra</Device>
+  <Gain>{gain}</Gain>
+  <ADC_Nbits>{bits}</ADC_Nbits>
+  <ADC_Range>{adc_range}</ADC_Range>
+  <SamplingFrequency>{fs}</SamplingFrequency>
+  <SignalStreamPath>data_000.sig</SignalStreamPath>
+  <NumberOfChannels>{n_ch_per}</NumberOfChannels>
+  <AcquisitionChannel>{i * n_ch_per}</AcquisitionChannel>
+</TrackInfo>""")
+    tracks_xml.append('</ArrayOfTrackInfo>')
+    xml_bytes = "\n".join(tracks_xml).encode()
+
+    tot_ch = n_tracks * n_ch_per
+    rng = np.random.default_rng(0)
+    raw = rng.integers(-1000, 1000, size=(tot_ch, n_samples),
+                       dtype=np.int16)
+    sig_bytes = raw.reshape(-1, order='F').tobytes()
+
+    import io as _io
+    with tarfile.open(path, "w") as tar:
+        for name, payload in [("Tracks_000.xml", xml_bytes),
+                              ("data_000.sig", sig_bytes)]:
+            info = tarfile.TarInfo(name)
+            info.size = len(payload)
+            tar.addfile(info, _io.BytesIO(payload))
+    return raw, gain, bits, adc_range, fs
+
+
+class TestOtb4:
+    def test_read_adc_conversion(self, tmp_path):
+        p = tmp_path / "rec.otb4"
+        raw, gain, bits, adc_range, fs = _make_otb4(p)
+        parsed = read_otb4(p)
+        assert parsed["device"] == "Quattrocento"
+        assert parsed["n_channels"] == 8
+        name, data, got_fs = parsed["signals"][0]
+        assert got_fs == fs
+        expected = raw.astype(np.float32) * adc_range / 2 ** bits * 1000 / gain
+        np.testing.assert_allclose(data, expected, rtol=1e-6)
+
+    def test_csv_export_layout(self, tmp_path):
+        p = tmp_path / "rec.otb4"
+        raw, gain, bits, adc_range, fs = _make_otb4(p)
+        out = import_otb4_to_csv(str(p), str(tmp_path / "out"),
+                                 output_title="subj0_eeg",
+                                 channel_range=(0, 4), verbose=False)
+        assert out["n_channels_exported"] == 4
+        df = pd.read_csv(out["output_files"][0])
+        assert list(df.columns) == ["Time_s", "Channel_1", "Channel_2",
+                                    "Channel_3", "Channel_4"]
+        np.testing.assert_allclose(df["Time_s"], np.arange(100) / fs)
+
+    def test_invalid_channel_range(self, tmp_path):
+        p = tmp_path / "rec.otb4"
+        _make_otb4(p)
+        with pytest.raises(ValueError, match="channel_range"):
+            import_otb4_to_csv(str(p), str(tmp_path / "o"),
+                               channel_range=(0, 99), verbose=False)
+
+    def test_missing_file(self):
+        with pytest.raises(FileNotFoundError):
+            read_otb4("/nonexistent.otb4")
