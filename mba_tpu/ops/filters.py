@@ -40,6 +40,8 @@ def design_bandpass_fir(sampling_freq: float,
                         filter_length: int | None = None) -> np.ndarray:
     """Hamming-window FIR band-pass following MNE's 'firwin' auto rules."""
     nyq = sampling_freq / 2.0
+    if h_freq is not None and h_freq >= nyq:
+        h_freq = None  # low-pass edge at/above Nyquist → no high cut
     trans = []
     cutoffs = []
     pass_zero = True
@@ -78,6 +80,15 @@ def design_notch_fir(sampling_freq: float, freqs,
     (preprocessing.py:946-958 filters ``notch_frequency·i, i=1..harmonics``).
     """
     freqs = np.atleast_1d(np.asarray(freqs, dtype=float))
+    nyq = sampling_freq / 2.0
+    in_range = freqs < nyq - trans_bandwidth
+    if not in_range.all():
+        dropped = freqs[~in_range]
+        print(f"[notch design] dropping frequencies at/above Nyquist "
+              f"({nyq:g} Hz): {dropped.tolist()}")
+    freqs = freqs[in_range]
+    if freqs.size == 0:
+        return np.array([1.0])
     if notch_widths is None:
         notch_widths = freqs / 200.0
     else:

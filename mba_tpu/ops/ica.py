@@ -1,0 +1,228 @@
+"""Extended-Infomax ICA as a jitted TPU kernel + heuristic IC labeling.
+
+The reference delegates ICA to MNE (preprocessing.py:654-682: extended
+infomax, 25 components, seed 42) and component labeling to the pretrained
+mne-icalabel classifier (:685-720).  Neither is available here, so both are
+implemented natively:
+
+- :class:`InfomaxICA` — PCA whitening + extended-Infomax natural-gradient
+  learning (Lee, Girolami & Sejnowski 1999) with kurtosis-based sub/super-
+  Gaussian switching, learning-rate annealing and weight-change convergence.
+  The epoch loop is a ``lax.while_loop`` over a ``lax.scan`` of mini-batch
+  natural-gradient steps — one compiled program, MXU matmuls throughout.
+- :func:`label_components` — a transparent rule-based classifier emitting
+  the same label vocabulary the reference excludes on
+  ('eye blink', 'heart beat', 'muscle artifact', 'channel noise', 'brain',
+  'other'): frontal low-frequency topographies → blink, periodic
+  sharp-peaked sources → heart beat, high-frequency power → muscle,
+  single-channel topographies → channel noise.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_comp", "block", "max_iter",
+                                    "ext_blocks"))
+def _extended_infomax(key, x_white, n_comp, block, max_iter,
+                      l_rate, ext_blocks=1, w_change_tol=1e-7,
+                      anneal_deg=60.0, anneal_step=0.9):
+    """Run extended Infomax on whitened data (T, n_comp) → W (n_comp²)."""
+    n_samples = x_white.shape[0]
+    n_blocks = n_samples // block
+    eye = jnp.eye(n_comp, dtype=jnp.float32)
+
+    def epoch(state):
+        key, w, signs, lrate, old_w, old_d_w, angle_delta, step, done = state
+        key, sub = jax.random.split(key)
+        perm = jax.random.permutation(sub, n_samples)
+        data = x_white[perm[:n_blocks * block]].reshape(
+            (n_blocks, block, n_comp))
+
+        def batch_step(w, xb):
+            u = xb @ w                                     # (block, n)
+            y = jnp.tanh(u)
+            # extended-infomax natural gradient (Lee et al. 1999; with the
+            # u = XW right-multiplication convention the relative gradient
+            # multiplies W from the left):
+            w = w + lrate * (w @ (block * eye
+                                  - signs[None, :] * (u.T @ y)
+                                  - u.T @ u))
+            return w, jnp.sum(u ** 2)  # carry source energy for diagnostics
+
+        w_new, _ = jax.lax.scan(batch_step, w, data)
+
+        # kurtosis-based sign update (sub- vs super-Gaussian components)
+        u_all = x_white[:min(n_samples, 6000)] @ w_new
+        m2 = jnp.mean(u_all ** 2, axis=0)
+        m4 = jnp.mean(u_all ** 4, axis=0)
+        kurt = m4 / jnp.maximum(m2 ** 2, 1e-12) - 3.0
+        new_signs = jnp.where(kurt >= 0, 1.0, -1.0).astype(jnp.float32)
+
+        # convergence / annealing (MNE-style angle criterion)
+        d_w = w_new - w
+        change = jnp.sum(d_w * d_w)
+        dot = jnp.sum(d_w * old_d_w)
+        denom = jnp.sqrt(jnp.maximum(change, 1e-30)
+                         * jnp.maximum(jnp.sum(old_d_w * old_d_w), 1e-30))
+        angle = jnp.degrees(jnp.arccos(jnp.clip(dot / denom, -1.0, 1.0)))
+        anneal = angle > anneal_deg
+        lrate = jnp.where(anneal, lrate * anneal_step, lrate)
+        old_d_w = jnp.where(anneal, d_w, old_d_w)
+
+        blowup = ~jnp.isfinite(change) | (change > 1e9)
+        w_new = jnp.where(blowup, eye, w_new)
+        lrate = jnp.where(blowup, lrate * 0.5, lrate)
+
+        done = (change < w_change_tol) & (step > 1)
+        return (key, w_new, new_signs, lrate, w, old_d_w, angle, step + 1,
+                done)
+
+    def cond(state):
+        *_, step, done = state
+        return (~done) & (step < max_iter)
+
+    init = (key, eye, jnp.ones((n_comp,), jnp.float32),
+            jnp.float32(l_rate), eye, eye.copy(), jnp.float32(0.0),
+            jnp.int32(0), jnp.bool_(False))
+    final = jax.lax.while_loop(cond, epoch, init)
+    return final[1], final[7]  # W, n_iter
+
+
+class InfomaxICA:
+    """Extended-Infomax ICA with PCA whitening (MNE-equivalent role)."""
+
+    def __init__(self, n_components: int, max_iter: int = 500,
+                 random_state: int = 42, l_rate: float | None = None):
+        self.n_components = n_components
+        self.max_iter = max_iter
+        self.random_state = random_state
+        self.l_rate = l_rate
+        self.exclude: list[int] = []
+
+    def fit(self, data: np.ndarray) -> "InfomaxICA":
+        """data: (n_samples, n_channels)."""
+        x = np.asarray(data, np.float64)
+        n_samples, n_ch = x.shape
+        n_comp = min(self.n_components, n_ch)
+
+        self._mean = x.mean(axis=0)
+        xc = x - self._mean
+        # PCA whitening (host: one SVD of the channel covariance)
+        cov = xc.T @ xc / n_samples
+        eigval, eigvec = np.linalg.eigh(cov)
+        order = np.argsort(eigval)[::-1][:n_comp]
+        eigval = np.maximum(eigval[order], 1e-12)
+        eigvec = eigvec[:, order]
+        self._whitener = (eigvec / np.sqrt(eigval)).T      # (n_comp, C)
+        self._dewhitener = (eigvec * np.sqrt(eigval))      # (C, n_comp)
+        x_white = (xc @ self._whitener.T).astype(np.float32)
+
+        block = int(np.floor(np.sqrt(n_samples / 3.0)))
+        block = max(8, min(block, n_samples))
+        l_rate = self.l_rate or 0.01 / np.log(n_comp ** 2.0)
+        w, n_iter = _extended_infomax(
+            jax.random.PRNGKey(self.random_state),
+            jnp.asarray(x_white), n_comp, block, self.max_iter,
+            np.float32(l_rate))
+        self._w = np.asarray(w, np.float64)                # (n_comp, n_comp)
+        self.n_iter_ = int(n_iter)
+
+        # unmixing: sources = (x - mean) @ unmixing.T
+        self.unmixing_ = self._w.T @ self._whitener        # (n_comp, C)
+        self.mixing_ = np.linalg.pinv(self.unmixing_)      # (C, n_comp)
+        return self
+
+    def get_sources(self, data: np.ndarray) -> np.ndarray:
+        """(n_samples, n_components) source estimates."""
+        return (np.asarray(data, np.float64) - self._mean) @ self.unmixing_.T
+
+    def apply(self, data: np.ndarray,
+              exclude: list[int] | None = None) -> np.ndarray:
+        """Reconstruct data with the excluded components removed.
+
+        Mirrors ``mne.preprocessing.ICA.apply`` (reference
+        preprocessing.py:718): the artifact subspace is projected out, the
+        remainder (including any non-retained PCA subspace) is kept.
+        """
+        exclude = exclude if exclude is not None else self.exclude
+        x = np.asarray(data, np.float64)
+        if not len(exclude):
+            return x.copy()
+        sources = self.get_sources(x)                      # (T, n_comp)
+        artifact = sources[:, exclude] @ self.mixing_[:, exclude].T
+        return x - artifact
+
+
+# --------------------------------------------------------------------------
+# heuristic component labeling (ICLabel-equivalent vocabulary)
+# --------------------------------------------------------------------------
+def _power_ratio(source: np.ndarray, fs: float, f_lo: float, f_hi: float
+                 ) -> float:
+    f = np.fft.rfftfreq(len(source), 1 / fs)
+    p = np.abs(np.fft.rfft(source - source.mean())) ** 2
+    total = p[(f >= 0.5)].sum() + 1e-20
+    return float(p[(f >= f_lo) & (f < f_hi)].sum() / total)
+
+
+def label_components(ica: InfomaxICA, data: np.ndarray, fs: float,
+                     channel_names: list[str] | None = None) -> dict:
+    """Rule-based IC labels: {'labels': [...], 'y_pred_proba': [...]}.
+
+    Same output contract as mne_icalabel.label_components (reference
+    preprocessing.py:701-705): per component one of 'brain', 'eye blink',
+    'heart beat', 'muscle artifact', 'channel noise', 'other'.
+    """
+    sources = ica.get_sources(data)
+    n_comp = sources.shape[1]
+    mixing = ica.mixing_                                   # (C, n_comp)
+    n_ch = mixing.shape[0]
+
+    frontal_idx = []
+    if channel_names is not None:
+        frontal_idx = [i for i, ch in enumerate(channel_names)
+                       if ch.startswith(('Fp', 'AF'))]
+
+    labels, probas = [], []
+    for k in range(n_comp):
+        src = sources[:, k]
+        topo = np.abs(mixing[:, k])
+        topo_norm = topo / (np.linalg.norm(topo) + 1e-20)
+
+        single_channel_dominance = float(topo_norm.max())
+        frontal_fraction = (float((topo_norm[frontal_idx] ** 2).sum())
+                            if frontal_idx else 0.0)
+        low_ratio = _power_ratio(src, fs, 0.5, 4.0)
+        high_ratio = _power_ratio(src, fs, 30.0, fs / 2)
+        cardiac_ratio = _power_ratio(src, fs, 0.8, 2.5)
+        # sharp periodic peaks: kurtosis + regular inter-peak intervals
+        z = (src - src.mean()) / (src.std() + 1e-20)
+        peaks = np.flatnonzero((z[1:-1] > 3.0) & (z[1:-1] >= z[:-2])
+                               & (z[1:-1] >= z[2:])) + 1
+        if len(peaks) > 3:
+            ipi = np.diff(peaks) / fs
+            ipi = ipi[ipi > 0.25]
+            periodic = (len(ipi) > 2
+                        and 0.35 < np.median(ipi) < 1.5
+                        and np.std(ipi) / (np.mean(ipi) + 1e-20) < 0.35)
+        else:
+            periodic = False
+
+        if single_channel_dominance > 0.95 and n_ch > 2:
+            label, proba = 'channel noise', single_channel_dominance
+        elif frontal_fraction > 0.6 and low_ratio > 0.4:
+            label, proba = 'eye blink', frontal_fraction
+        elif periodic and cardiac_ratio > 0.15:
+            label, proba = 'heart beat', cardiac_ratio
+        elif high_ratio > 0.55:
+            label, proba = 'muscle artifact', high_ratio
+        else:
+            label, proba = 'brain', 1.0 - high_ratio
+        labels.append(label)
+        probas.append(float(proba))
+    return {'y_pred_proba': probas, 'labels': labels}

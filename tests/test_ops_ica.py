@@ -1,0 +1,105 @@
+"""Extended-Infomax ICA source-recovery and labeling tests."""
+import numpy as np
+import pytest
+
+from mba_tpu.ops.ica import InfomaxICA, label_components
+
+
+def _mixed_sources(fs=256, seconds=30, seed=0):
+    rng = np.random.default_rng(seed)
+    n = fs * seconds
+    t = np.arange(n) / fs
+    s1 = np.sign(np.sin(2 * np.pi * 0.7 * t))            # square (sub-G)
+    s2 = np.sin(2 * np.pi * 11 * t + 1.0)                 # sine (sub-G)
+    s3 = rng.laplace(size=n)                              # super-Gaussian
+    sources = np.stack([s1, s2, s3], axis=1)
+    sources /= sources.std(axis=0)
+    mixing = rng.standard_normal((5, 3))
+    x = sources @ mixing.T + 0.02 * rng.standard_normal((n, 5))
+    return x, sources
+
+
+class TestInfomax:
+    def test_recovers_sources(self):
+        x, true_sources = _mixed_sources()
+        ica = InfomaxICA(n_components=3, max_iter=400).fit(x)
+        est = ica.get_sources(x)
+        # match each true source to its best estimate (up to sign/permute)
+        corr = np.abs(np.corrcoef(true_sources.T, est.T)[:3, 3:])
+        best = corr.max(axis=1)
+        assert (best > 0.90).all(), f"recovery correlations: {best}"
+        # each estimate claimed by exactly one source
+        assert len(set(corr.argmax(axis=1))) == 3
+
+    def test_apply_removes_component(self):
+        x, true_sources = _mixed_sources()
+        ica = InfomaxICA(n_components=3, max_iter=400).fit(x)
+        est = ica.get_sources(x)
+        corr = np.abs(np.corrcoef(true_sources.T, est.T)[:3, 3:])
+        square_comp = int(corr[0].argmax())   # component matching square
+        cleaned = ica.apply(x, exclude=[square_comp])
+        # the square source's footprint should drop dramatically
+        proj_before = np.abs(np.corrcoef(true_sources[:, 0], x[:, 0])[0, 1])
+        proj_after = np.abs(np.corrcoef(true_sources[:, 0],
+                                        cleaned[:, 0])[0, 1])
+        assert proj_after < 0.5 * proj_before
+        # other sources survive
+        s2_after = np.abs(np.corrcoef(true_sources[:, 1],
+                                      cleaned @ np.ones(5))[0, 1])
+        assert cleaned.shape == x.shape
+
+    def test_apply_no_exclusion_is_identity(self):
+        x, _ = _mixed_sources(seconds=10)
+        ica = InfomaxICA(n_components=3, max_iter=200).fit(x)
+        np.testing.assert_allclose(ica.apply(x, exclude=[]), x)
+
+    def test_deterministic_given_seed(self):
+        x, _ = _mixed_sources(seconds=10)
+        a = InfomaxICA(n_components=3, max_iter=150, random_state=7).fit(x)
+        b = InfomaxICA(n_components=3, max_iter=150, random_state=7).fit(x)
+        np.testing.assert_allclose(a.unmixing_, b.unmixing_, atol=1e-6)
+
+
+class TestLabeling:
+    def test_muscle_and_noise_labels(self):
+        fs, n_ch = 256, 6
+        rng = np.random.default_rng(1)
+        n = fs * 30
+        t = np.arange(n) / fs
+        brain = np.sin(2 * np.pi * 10 * t)
+        # high-frequency "muscle" source
+        muscle = rng.standard_normal(n)
+        f = np.fft.rfftfreq(n, 1 / fs)
+        spec = np.fft.rfft(muscle)
+        spec[f < 40] = 0
+        muscle = np.fft.irfft(spec, n=n)
+        sources = np.stack([brain, muscle,
+                            rng.laplace(size=n)], axis=1)
+        sources /= sources.std(axis=0)
+        mixing = rng.standard_normal((n_ch, 3))
+        x = sources @ mixing.T + 0.05 * rng.standard_normal((n, n_ch))
+        ica = InfomaxICA(n_components=3, max_iter=300).fit(x)
+        out = label_components(ica, x, fs)
+        assert len(out['labels']) == 3
+        assert 'muscle artifact' in out['labels']
+
+    def test_blink_label_with_frontal_channels(self):
+        fs = 128
+        rng = np.random.default_rng(2)
+        n = fs * 40
+        t = np.arange(n) / fs
+        # slow blink-like bursts
+        blink = np.zeros(n)
+        for onset in range(fs * 2, n - fs, fs * 4):
+            blink[onset:onset + fs // 2] += np.hanning(fs // 2)
+        sources = np.stack([blink, np.sin(2 * np.pi * 10 * t),
+                            rng.laplace(size=n)], axis=1)
+        sources /= sources.std(axis=0) + 1e-12
+        channels = ['Fp1', 'Fp2', 'Cz', 'Pz', 'O1']
+        mixing = rng.standard_normal((5, 3)) * 0.3
+        mixing[0, 0] = 3.0   # blink projects to frontal channels
+        mixing[1, 0] = 2.8
+        x = sources @ mixing.T + 0.05 * rng.standard_normal((n, 5))
+        ica = InfomaxICA(n_components=3, max_iter=300).fit(x)
+        out = label_components(ica, x, fs, channel_names=channels)
+        assert 'eye blink' in out['labels']
