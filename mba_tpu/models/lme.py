@@ -190,6 +190,66 @@ def _batched_reml_core(X, Y, gidx, counts, n_groups, n_iters=60):
     return jax.vmap(stats_for)(Y)
 
 
+@functools.partial(jax.jit, static_argnames=("n_groups", "n_iters"))
+def _batched_reml_weighted(Xb, Yb, Wb, gidx, n_groups, n_iters=60):
+    """Vectorised profiled REML with per-batch designs and 0/1 row weights.
+
+    Xb: (B, n, p); Yb: (B, n); Wb: (B, n) row weights (0 = absent row —
+    exact row removal under the REML algebra).  Used for clustered
+    bootstrap where every resample has its own padded design.  Returns
+    beta (B, p).
+    """
+    def one(X, y, w):
+        n_eff = jnp.sum(w)
+        p = X.shape[1]
+        Xw = X * w[:, None]
+        counts = jax.ops.segment_sum(w, gidx, num_segments=n_groups)
+        Xg = jax.ops.segment_sum(Xw, gidx, num_segments=n_groups)
+        yg = jax.ops.segment_sum(y * w, gidx, num_segments=n_groups)
+        xtx_full = Xw.T @ X
+        xty_full = Xw.T @ y
+
+        def quantities(lam):
+            wg = lam / (1.0 + lam * counts)
+            xtx = xtx_full - (Xg * wg[:, None]).T @ Xg
+            xty = xty_full - (Xg * wg[:, None]).T @ yg
+            beta = jnp.linalg.solve(xtx, xty)
+            r = y - X @ beta
+            rg = jax.ops.segment_sum(r * w, gidx, num_segments=n_groups)
+            quad = jnp.sum(w * r * r) - wg @ rg ** 2
+            logdet_w = jnp.sum(jnp.log1p(lam * counts))
+            _, logdet_xtx = jnp.linalg.slogdet(xtx)
+            return beta, quad, logdet_w, logdet_xtx
+
+        def criterion(log_lam):
+            lam = jnp.exp(log_lam)
+            _, quad, ldw, ldx = quantities(lam)
+            return ((n_eff - p) * jnp.log(jnp.maximum(quad, 1e-30))
+                    + ldw + ldx)
+
+        gr = 0.6180339887498949
+        lo, hi = jnp.float32(-12.0), jnp.float32(8.0)
+
+        def gs_step(state, _):
+            lo, hi = state
+            c = hi - gr * (hi - lo)
+            d = lo + gr * (hi - lo)
+            lo = jnp.where(criterion(c) < criterion(d), lo, c)
+            hi = jnp.where(criterion(c) < criterion(d), d, hi)
+            return (lo, hi), None
+
+        (lo, hi), _ = jax.lax.scan(gs_step, (lo, hi), None,
+                                   length=n_iters)
+        log_lam = 0.5 * (lo + hi)
+        log_lam = jnp.where(criterion(jnp.float32(-12.0))
+                            <= criterion(log_lam),
+                            jnp.float32(-25.0), log_lam)
+        beta, _, _, _ = quantities(jnp.exp(log_lam))
+        return beta
+
+    return jax.vmap(one)(Xb, Yb, Wb)
+
+
 def batched_lme_pvalues(X: np.ndarray, Y: np.ndarray,
                         groups: np.ndarray) -> dict:
     """Fit S random-intercept REML models at once on device.

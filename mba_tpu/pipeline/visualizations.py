@@ -1,0 +1,615 @@
+"""Presentation layer: plotting for every pipeline stage.
+
+Parity target: reference ``src/pipeline/visualizations.py`` (4200 LoC) —
+the plot families it provides (reference line refs in each docstring):
+electrode heatmaps, frequency-domain plots, spectrograms, scatters with
+KDE, CI line plots, forest plots and mosaics, CMC per-category lineplots,
+phase-average figures, CBPA t-map + cluster figures, category-reassignment
+flow (Sankey; rendered natively in matplotlib here — plotly is not a
+dependency), MI barplots and descriptive box mosaics.
+
+All figures render headless (Agg) and save through the timestamped
+artifact store.
+"""
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Literal
+
+import numpy as np
+import pandas as pd
+import matplotlib
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt
+from matplotlib.patches import Rectangle
+
+from mba_tpu.channel_layout import EEG_CHANNELS, eeg_positions_3d
+from mba_tpu.utils import file_management as filemgmt
+
+# ── electrode coordinate tables (reference visualizations.py:61-137) ──
+_pos3d = eeg_positions_3d(EEG_CHANNELS)
+EEG_POSITIONS: dict[str, tuple[float, float]] = {
+    ch: (float(_pos3d[i, 0]), float(_pos3d[i, 1]))
+    for i, ch in enumerate(EEG_CHANNELS)}
+EMG_POSITIONS: dict[str, tuple[float, float]] = {
+    f"EMG{i:02d}": (float(i % 8), float(i // 8)) for i in range(64)}
+
+
+def smart_save_fig(save_dir: str | Path, title: str,
+                   suffix: str = ".png", fig=None, dpi: int = 150
+                   ) -> Path:
+    """Save the current (or given) figure with a timestamped title."""
+    save_dir = Path(save_dir)
+    filemgmt.assert_dir(save_dir)
+    path = save_dir / filemgmt.file_title(title, suffix)
+    (fig or plt.gcf()).savefig(path, dpi=dpi, bbox_inches="tight")
+    return path
+
+
+# ══════════════════════════════════════════════════════════════════════
+#  frequency / spectrogram family (reference :522-921)
+# ══════════════════════════════════════════════════════════════════════
+def plot_freq_domain(amplitude_spectrum: np.ndarray, freqs: np.ndarray,
+                     title: str = "Amplitude Spectrum",
+                     log_scale: bool = False,
+                     save_dir: str | Path | None = None,
+                     show: bool = False):
+    """Amplitude-vs-frequency plot (reference :522)."""
+    fig, ax = plt.subplots(figsize=(10, 4))
+    amp = np.atleast_2d(amplitude_spectrum.T).T
+    for ch in range(amp.shape[1]):
+        ax.plot(freqs, amp[:, ch], lw=0.8, alpha=0.8)
+    if log_scale:
+        ax.set_yscale("log")
+    ax.set_xlabel("Frequency [Hz]")
+    ax.set_ylabel("Amplitude")
+    ax.set_title(title)
+    ax.grid(alpha=0.3)
+    if save_dir is not None:
+        smart_save_fig(save_dir, title, fig=fig)
+    if show:
+        plt.show()
+    else:
+        plt.close(fig)
+    return fig, ax
+
+
+def plot_spectrogram(spectrogram: np.ndarray,
+                     timestamps: np.ndarray | None = None,
+                     frequencies: np.ndarray | None = None,
+                     title: str = "Spectrogram",
+                     cmap: str = "viridis",
+                     vlim: tuple | None = None,
+                     frequency_range: tuple | None = None,
+                     colorbar_label: str = "Power",
+                     save_dir: str | Path | None = None,
+                     show: bool = False):
+    """Time × frequency imshow spectrogram (reference :589-921)."""
+    fig, ax = plt.subplots(figsize=(10, 5))
+    spec = np.asarray(spectrogram)
+    t = (timestamps if timestamps is not None
+         else np.arange(spec.shape[0]))
+    f = (frequencies if frequencies is not None
+         else np.arange(spec.shape[1]))
+    if frequency_range is not None and frequencies is not None:
+        sel = (f >= frequency_range[0]) & (f <= frequency_range[1])
+        spec = spec[:, sel]
+        f = f[sel]
+    vmin, vmax = vlim if vlim is not None else (None, None)
+    im = ax.imshow(spec.T, aspect="auto", origin="lower", cmap=cmap,
+                   extent=[t[0], t[-1], f[0], f[-1]],
+                   vmin=vmin, vmax=vmax)
+    ax.set_xlabel("Time [s]")
+    ax.set_ylabel("Frequency [Hz]")
+    ax.set_title(title)
+    fig.colorbar(im, ax=ax, label=colorbar_label)
+    if save_dir is not None:
+        smart_save_fig(save_dir, title, fig=fig)
+    if show:
+        plt.show()
+    else:
+        plt.close(fig)
+    return fig, ax
+
+
+def initialise_electrode_heatmap(data: np.ndarray,
+                                 positions: dict | None = None,
+                                 add_head_shape: bool = True,
+                                 value_label: str = "Value",
+                                 plot_title: str = "Electrode Heatmap",
+                                 timestep: int = 0,
+                                 save_dir: str | Path | None = None,
+                                 show: bool = False):
+    """Scalp/grid electrode heatmap at one timestep (reference :317-520).
+
+    data: (n_channels, n_timesteps) or (n_channels,).
+    """
+    positions = positions or EEG_POSITIONS
+    values = np.asarray(data)
+    if values.ndim == 2:
+        values = values[:, timestep]
+    names = list(positions.keys())[:len(values)]
+    xs = np.array([positions[ch][0] for ch in names])
+    ys = np.array([positions[ch][1] for ch in names])
+    fig, ax = plt.subplots(figsize=(6, 6))
+    sc = ax.scatter(xs, ys, c=values[:len(names)], s=350,
+                    cmap="RdBu_r", edgecolors="k", zorder=3)
+    for x, y, ch in zip(xs, ys, names):
+        ax.annotate(ch, (x, y), ha="center", va="center", fontsize=5,
+                    zorder=4)
+    if add_head_shape:
+        r = 1.15 * max(np.abs(xs).max(), np.abs(ys).max())
+        ax.add_patch(plt.Circle((0, 0), r, fill=False, lw=1.5))
+        ax.plot([0, -0.08 * r, 0.08 * r, 0],
+                [r, r * 1.08, r * 1.08, r], "k-", lw=1.0)
+    ax.set_aspect("equal")
+    ax.axis("off")
+    ax.set_title(plot_title)
+    fig.colorbar(sc, ax=ax, label=value_label, shrink=0.7)
+    if save_dir is not None:
+        smart_save_fig(save_dir, plot_title, fig=fig)
+    if show:
+        plt.show()
+    else:
+        plt.close(fig)
+    return fig, ax
+
+
+# ══════════════════════════════════════════════════════════════════════
+#  scatter / CI-line family (reference :924-1743)
+# ══════════════════════════════════════════════════════════════════════
+def plot_scatter(x, y, x_label: str = "x", y_label: str = "y",
+                 category_list: list | None = None,
+                 category_label: str = "Category",
+                 add_regression: bool = True,
+                 title: str | None = None,
+                 save_dir: str | Path | None = None,
+                 show: bool = False):
+    """Scatter with optional per-category colouring and OLS trend line
+    (reference :924)."""
+    x = np.asarray(x, float)
+    y = np.asarray(y, float)
+    fig, ax = plt.subplots(figsize=(7, 5))
+    if category_list is not None:
+        cats = pd.Series(category_list)
+        for cat in cats.unique():
+            sel = (cats == cat).to_numpy()
+            ax.scatter(x[sel], y[sel], label=f"{category_label} {cat}",
+                       alpha=0.8)
+        ax.legend(fontsize=8)
+    else:
+        ax.scatter(x, y, alpha=0.8)
+    if add_regression and len(x) > 2 and np.std(x) > 0:
+        coeffs = np.polyfit(x, y, 1)
+        xs = np.linspace(x.min(), x.max(), 50)
+        ax.plot(xs, np.polyval(coeffs, xs), "k--", lw=1,
+                label=f"slope={coeffs[0]:.3f}")
+    ax.set_xlabel(x_label)
+    ax.set_ylabel(y_label)
+    title = title or f"{y_label} vs {x_label}"
+    ax.set_title(title)
+    ax.grid(alpha=0.3)
+    if save_dir is not None:
+        smart_save_fig(save_dir, f"Scatter {x_label[:30]}", fig=fig)
+    if show:
+        plt.show()
+    else:
+        plt.close(fig)
+    return fig, ax
+
+
+def plot_array_with_ci(values: np.ndarray,
+                       lower: np.ndarray | None = None,
+                       upper: np.ndarray | None = None,
+                       x_axis: np.ndarray | None = None,
+                       label: str | None = None,
+                       x_label: str = "Time [s]",
+                       y_label: str = "Value",
+                       title: str = "Signal with CI",
+                       hline: float | None = None,
+                       ax=None,
+                       save_dir: str | Path | None = None,
+                       show: bool = False):
+    """Line plot with a shaded confidence band (reference :1235-1743)."""
+    own_fig = ax is None
+    if own_fig:
+        fig, ax = plt.subplots(figsize=(10, 4))
+    else:
+        fig = ax.figure
+    x = x_axis if x_axis is not None else np.arange(len(values))
+    ax.plot(x, values, lw=1.5, label=label)
+    if lower is not None and upper is not None:
+        ax.fill_between(x, lower, upper, alpha=0.25)
+    if hline is not None:
+        ax.axhline(hline, color="r", ls=":", lw=1,
+                   label=f"threshold {hline:.3f}")
+    ax.set_xlabel(x_label)
+    ax.set_ylabel(y_label)
+    ax.set_title(title)
+    ax.grid(alpha=0.3)
+    if label or hline is not None:
+        ax.legend(fontsize=8)
+    if own_fig and save_dir is not None:
+        smart_save_fig(save_dir, title, fig=fig)
+    if own_fig and not show:
+        plt.close(fig)
+    return fig, ax
+
+
+# ══════════════════════════════════════════════════════════════════════
+#  forest plots (reference :1783-2441)
+# ══════════════════════════════════════════════════════════════════════
+def draw_forest_plot(results_df: pd.DataFrame,
+                     coef_col: str = "Coefficient",
+                     se_col: str = "SE",
+                     p_col: str = "p_value_for_plot",
+                     param_col: str = "Parameter",
+                     title: str = "Forest Plot",
+                     alpha: float = 0.05,
+                     ax=None,
+                     save_dir: str | Path | None = None,
+                     show: bool = False):
+    """β ± 1.96·SE forest plot, significant effects highlighted
+    (reference :1783-2011)."""
+    df = results_df.copy()
+    df = df[~df[param_col].astype(str).str.startswith("__")]
+    df = df[df[param_col] != "Intercept"]
+    if df.empty:
+        return None, None
+    own_fig = ax is None
+    if own_fig:
+        fig, ax = plt.subplots(
+            figsize=(8, max(2, 0.45 * len(df))))
+    else:
+        fig = ax.figure
+    y = np.arange(len(df))[::-1]
+    coefs = pd.to_numeric(df[coef_col], errors="coerce").to_numpy()
+    ses = pd.to_numeric(df[se_col], errors="coerce").to_numpy()
+    pvals = (pd.to_numeric(df[p_col], errors="coerce").to_numpy()
+             if p_col in df.columns else np.ones(len(df)))
+    sig = pvals < alpha
+    ax.errorbar(coefs, y, xerr=1.96 * ses, fmt="none", ecolor="gray",
+                capsize=3)
+    ax.scatter(coefs[~sig], y[~sig], c="gray", zorder=3)
+    ax.scatter(coefs[sig], y[sig], c="crimson", zorder=3,
+               label=f"p < {alpha}")
+    ax.axvline(0, color="k", lw=1)
+    ax.set_yticks(y)
+    ax.set_yticklabels(df[param_col], fontsize=7)
+    ax.set_xlabel("Coefficient (95% CI)")
+    ax.set_title(title, fontsize=9)
+    if sig.any():
+        ax.legend(fontsize=7)
+    if own_fig and save_dir is not None:
+        smart_save_fig(save_dir, title, fig=fig)
+    if own_fig and not show:
+        plt.close(fig)
+    return fig, ax
+
+
+def draw_forest_mosaic(results_df: pd.DataFrame,
+                       facet_col: str = "Dependent_Variable",
+                       model_type: str = "LME",
+                       title: str = "Forest Mosaic",
+                       save_dir: str | Path | None = None,
+                       show: bool = False):
+    """Grid of forest plots, one per DV (reference :2230-2441)."""
+    df = results_df[results_df.get("Model_Type", model_type)
+                    == model_type]
+    facets = df[facet_col].dropna().unique()
+    if len(facets) == 0:
+        return None
+    n_cols = min(4, len(facets))
+    n_rows = -(-len(facets) // n_cols)
+    fig, axes = plt.subplots(n_rows, n_cols,
+                             figsize=(5 * n_cols, 3.2 * n_rows),
+                             squeeze=False)
+    for i, facet in enumerate(facets):
+        ax = axes[i // n_cols][i % n_cols]
+        draw_forest_plot(df[df[facet_col] == facet],
+                         title=str(facet), ax=ax)
+    for j in range(len(facets), n_rows * n_cols):
+        axes[j // n_cols][j % n_cols].axis("off")
+    fig.suptitle(title)
+    fig.tight_layout()
+    if save_dir is not None:
+        smart_save_fig(save_dir, title, fig=fig)
+    if not show:
+        plt.close(fig)
+    return fig
+
+
+# ══════════════════════════════════════════════════════════════════════
+#  CMC / phase-average family (reference :2446-4029)
+# ══════════════════════════════════════════════════════════════════════
+def plot_cmc_per_category(band_values_by_category: dict[str, np.ndarray],
+                          x_axis: np.ndarray | None = None,
+                          y_label: str = "CMC",
+                          title: str = "CMC per Category",
+                          save_dir: str | Path | None = None,
+                          show: bool = False):
+    """Per-category mean ± SEM lineplot (reference :2446-2632)."""
+    fig, ax = plt.subplots(figsize=(10, 5))
+    for cat, arr in band_values_by_category.items():
+        arr = np.atleast_2d(arr)
+        mean = np.nanmean(arr, axis=0)
+        sem = (np.nanstd(arr, axis=0)
+               / np.sqrt(max(arr.shape[0], 1)))
+        x = x_axis if x_axis is not None else np.arange(len(mean))
+        ax.plot(x, mean, label=cat, lw=1.5)
+        ax.fill_between(x, mean - sem, mean + sem, alpha=0.2)
+    ax.set_ylabel(y_label)
+    ax.set_title(title)
+    ax.legend(fontsize=8)
+    ax.grid(alpha=0.3)
+    if save_dir is not None:
+        smart_save_fig(save_dir, title, fig=fig)
+    if not show:
+        plt.close(fig)
+    return fig, ax
+
+
+def plot_phase_average(profiles_by_condition: dict[str, list[np.ndarray]],
+                       phase_grid: np.ndarray,
+                       y_label: str = "Value",
+                       title: str = "Phase Average",
+                       show_target_sine: bool = False,
+                       target_sine_min: float = 7.5,
+                       target_sine_max: float = 22.5,
+                       save_dir: str | Path | None = None,
+                       show: bool = False):
+    """Cycle-phase average figure with optional target-sine panel
+    (reference :2968-4029: plot_cmc_accuracy_phase_average /
+    plot_emg_psd_phase_average_plot / target-sine panels)."""
+    n_rows = 2 if show_target_sine else 1
+    fig, axes = plt.subplots(n_rows, 1, figsize=(10, 4 * n_rows),
+                             sharex=True, squeeze=False)
+    ax = axes[0][0]
+    for cond, profiles in profiles_by_condition.items():
+        stack = np.stack([np.asarray(p, float).reshape(len(phase_grid),
+                                                       -1).mean(axis=1)
+                          for p in profiles])
+        mean = np.nanmean(stack, axis=0)
+        sem = np.nanstd(stack, axis=0) / np.sqrt(max(len(stack), 1))
+        ax.plot(phase_grid, mean, label=f"{cond} (n={len(profiles)})")
+        ax.fill_between(phase_grid, mean - sem, mean + sem, alpha=0.2)
+    ax.set_ylabel(y_label)
+    ax.set_title(title)
+    ax.legend(fontsize=8)
+    ax.grid(alpha=0.3)
+    if show_target_sine:
+        ax2 = axes[1][0]
+        mid = (target_sine_min + target_sine_max) / 2
+        amp = (target_sine_max - target_sine_min) / 2
+        ax2.plot(phase_grid,
+                 mid + amp * np.sin(np.deg2rad(phase_grid)), "k-")
+        ax2.set_ylabel("Target force [%MVC]")
+        ax2.set_xlabel("Force-cycle phase [deg]")
+        ax2.grid(alpha=0.3)
+    else:
+        ax.set_xlabel("Force-cycle phase [deg]")
+    if save_dir is not None:
+        smart_save_fig(save_dir, title, fig=fig)
+    if not show:
+        plt.close(fig)
+    return fig
+
+
+def plot_cbpa_results(results: dict, cfg=None,
+                      save_dir: str | Path | None = None,
+                      show: bool = False):
+    """t-map + significant-cluster contours + cluster time courses
+    (reference :4030-4199)."""
+    t_obs = results["t_obs"]
+    time_grid = results["time_grid"]
+    ch_names = results["ch_names"]
+    good = results["good_cluster_inds"]
+    clusters = results["clusters"]
+    t_ax = (time_grid if time_grid is not None
+            else np.arange(t_obs.shape[0]))
+
+    n_panels = 1 + min(len(good), 3)
+    fig, axes = plt.subplots(n_panels, 1,
+                             figsize=(11, 3.2 * n_panels),
+                             squeeze=False)
+    ax = axes[0][0]
+    vmax = max(np.abs(t_obs).max(), 1e-6)
+    im = ax.imshow(t_obs.T, aspect="auto", origin="lower",
+                   cmap="RdBu_r", vmin=-vmax, vmax=vmax,
+                   extent=[t_ax[0], t_ax[-1], -0.5,
+                           t_obs.shape[1] - 0.5])
+    for idx in good:
+        mask = clusters[int(idx)]
+        ys, xs = np.where(mask.T)
+        ax.scatter(t_ax[xs], ys, s=4, c="k", marker="s", alpha=0.5)
+    ax.set_yticks(range(len(ch_names)))
+    ax.set_yticklabels(ch_names, fontsize=6)
+    label = results.get("cfg")
+    ax.set_title(f"Observed t-map "
+                 f"({len(good)} significant cluster(s))")
+    fig.colorbar(im, ax=ax, label="t")
+
+    for panel, idx in enumerate(good[:3], start=1):
+        mask = clusters[int(idx)]
+        axc = axes[panel][0]
+        cluster_t = np.where(mask, t_obs, np.nan)
+        axc.plot(t_ax, np.nanmean(cluster_t, axis=1), lw=1.5)
+        axc.axhline(0, color="k", lw=0.8)
+        axc.set_title(f"Cluster #{int(idx) + 1} mean t "
+                      f"(p={results['cluster_pv'][int(idx)]:.4f})")
+        axc.grid(alpha=0.3)
+    fig.tight_layout()
+    out_dir = save_dir or (getattr(cfg, "output_dir", None))
+    if out_dir is not None:
+        label = getattr(cfg, "hypothesis_label", "cbpa")
+        smart_save_fig(out_dir, f"CBPA {label}", fig=fig)
+    if not show:
+        plt.close(fig)
+    return fig
+
+
+# ══════════════════════════════════════════════════════════════════════
+#  categorical flow / MI / descriptive mosaics (reference :149-316 etc.)
+# ══════════════════════════════════════════════════════════════════════
+def plot_category_sankey(source_labels: list, target_labels: list,
+                         title: str = "Category Reassignment",
+                         rename_dict: dict | None = None,
+                         group_dict: dict | None = None,
+                         save_dir: str | Path | None = None,
+                         show: bool = False):
+    """Category-flow diagram (the reference used a plotly Sankey,
+    :149-316; rendered natively here as a two-column ribbon plot)."""
+    rename_dict = rename_dict or {}
+    group_dict = group_dict or {}
+
+    def canon(lbl):
+        lbl = rename_dict.get(lbl, lbl)
+        return group_dict.get(lbl, lbl)
+
+    src = [canon(s) for s in source_labels]
+    tgt = [canon(t) for t in target_labels]
+    flows = pd.crosstab(pd.Series(src, name="from"),
+                        pd.Series(tgt, name="to"))
+    cats_l = list(flows.index)
+    cats_r = list(flows.columns)
+    fig, ax = plt.subplots(figsize=(8, 6))
+    l_sizes = flows.sum(axis=1)
+    r_sizes = flows.sum(axis=0)
+    l_pos, acc = {}, 0.0
+    for c in cats_l:
+        l_pos[c] = acc
+        acc += l_sizes[c] + 1
+    r_pos, acc = {}, 0.0
+    for c in cats_r:
+        r_pos[c] = acc
+        acc += r_sizes[c] + 1
+    cmap = plt.get_cmap("tab10")
+    l_off = {c: 0.0 for c in cats_l}
+    r_off = {c: 0.0 for c in cats_r}
+    for i, s in enumerate(cats_l):
+        ax.add_patch(Rectangle((0, l_pos[s]), 0.08, l_sizes[s],
+                               color=cmap(i % 10)))
+        ax.text(-0.03, l_pos[s] + l_sizes[s] / 2, s, ha="right",
+                va="center", fontsize=8)
+        for t in cats_r:
+            n = flows.loc[s, t]
+            if n == 0:
+                continue
+            y0 = l_pos[s] + l_off[s]
+            y1 = r_pos[t] + r_off[t]
+            xs = np.linspace(0.08, 0.92, 40)
+            blend = (1 - np.cos(np.linspace(0, np.pi, 40))) / 2
+            ys_lo = y0 * (1 - blend) + y1 * blend
+            ax.fill_between(xs, ys_lo, ys_lo + n,
+                            color=cmap(i % 10), alpha=0.4, lw=0)
+            l_off[s] += n
+            r_off[t] += n
+    for j, t in enumerate(cats_r):
+        ax.add_patch(Rectangle((0.92, r_pos[t]), 0.08, r_sizes[t],
+                               color="gray", alpha=0.6))
+        ax.text(1.03, r_pos[t] + r_sizes[t] / 2, t, ha="left",
+                va="center", fontsize=8)
+    ax.set_xlim(-0.35, 1.35)
+    ax.axis("off")
+    ax.set_title(title)
+    if save_dir is not None:
+        smart_save_fig(save_dir, title, fig=fig)
+    if not show:
+        plt.close(fig)
+    return fig, flows
+
+
+def plot_mi_barplot(feature_importance: dict, target_label: str,
+                    plot_save_dir: str | Path | None = None,
+                    figsize=(10, 6), show: bool = False):
+    """MI feature-importance barplot (reference signal_features
+    :2033-2063)."""
+    fig, ax = plt.subplots(figsize=figsize)
+    features = list(feature_importance.keys())
+    scores = list(feature_importance.values())
+    bars = ax.bar(range(len(features)), scores, color="steelblue",
+                  alpha=0.7, edgecolor="navy")
+    ax.set_xlabel("Features", fontweight="bold")
+    ax.set_ylabel("Mutual Information Score", fontweight="bold")
+    ax.set_title(f"Feature Importance (MI: Feature <-> {target_label})",
+                 fontweight="bold")
+    ax.set_xticks(range(len(features)))
+    ax.set_xticklabels(features, rotation=45, ha="right")
+    top = max(scores) if scores else 1.0
+    for bar, score in zip(bars, scores):
+        ax.text(bar.get_x() + bar.get_width() / 2,
+                bar.get_height() + top * 0.01, f"{score:.3f}",
+                ha="center", va="bottom", fontsize=9)
+    fig.tight_layout()
+    if plot_save_dir is not None:
+        smart_save_fig(plot_save_dir, "Mutual_Information_Barplot",
+                       fig=fig)
+    if not show:
+        plt.close(fig)
+    return fig, ax
+
+
+def plot_combined_descriptive_mosaic(frames: dict[str, pd.Series],
+                                     title: str = "Cohort Descriptives",
+                                     save_dir: str | Path | None = None,
+                                     show: bool = False):
+    """Box-plot mosaic of cohort descriptives (reference
+    descriptive_statistics_workflow.py:398-554)."""
+    items = [(k, pd.to_numeric(v, errors="coerce").dropna())
+             for k, v in frames.items()]
+    items = [(k, v) for k, v in items if len(v)]
+    if not items:
+        return None
+    n_cols = min(4, len(items))
+    n_rows = -(-len(items) // n_cols)
+    fig, axes = plt.subplots(n_rows, n_cols,
+                             figsize=(3.2 * n_cols, 3.0 * n_rows),
+                             squeeze=False)
+    for i, (name, series) in enumerate(items):
+        ax = axes[i // n_cols][i % n_cols]
+        ax.boxplot(series, vert=True)
+        ax.scatter(np.random.default_rng(0).normal(1, 0.04, len(series)),
+                   series, alpha=0.5, s=12)
+        ax.set_title(name, fontsize=8)
+        ax.grid(alpha=0.3)
+    for j in range(len(items), n_rows * n_cols):
+        axes[j // n_cols][j % n_cols].axis("off")
+    fig.suptitle(title)
+    fig.tight_layout()
+    if save_dir is not None:
+        smart_save_fig(save_dir, title, fig=fig)
+    if not show:
+        plt.close(fig)
+    return fig
+
+
+def plot_cross_resolution_results(results_df: pd.DataFrame,
+                                  parameter: str,
+                                  dep_var: str,
+                                  model_type: str = "LME",
+                                  save_dir: str | Path | None = None,
+                                  show: bool = False):
+    """Coefficient ± CI across time resolutions (reference omnibus
+    workflow :689-712)."""
+    sub = results_df[(results_df["Parameter"] == parameter)
+                     & (results_df["Dependent_Variable"] == dep_var)
+                     & (results_df["Model_Type"] == model_type)]
+    if sub.empty or "N. Segments" not in sub.columns:
+        return None
+    sub = sub.sort_values("N. Segments")
+    fig, ax = plt.subplots(figsize=(7, 4))
+    ax.errorbar(sub["N. Segments"], sub["Coefficient"],
+                yerr=1.96 * pd.to_numeric(sub["SE"], errors="coerce"),
+                fmt="o-", capsize=4)
+    ax.axhline(0, color="k", lw=1)
+    ax.set_xlabel("N within-trial segments")
+    ax.set_ylabel("Coefficient (95% CI)")
+    ax.set_title(f"{dep_var}: {parameter} across resolutions",
+                 fontsize=9)
+    ax.grid(alpha=0.3)
+    if save_dir is not None:
+        smart_save_fig(save_dir, f"Cross Resolution {dep_var[:30]}",
+                       fig=fig)
+    if not show:
+        plt.close(fig)
+    return fig
