@@ -1,0 +1,91 @@
+"""Build + ctypes bindings for the native serial shim."""
+from __future__ import annotations
+
+import ctypes
+import functools
+import subprocess
+from pathlib import Path
+
+_SRC = Path(__file__).parent / "serialshim.cpp"
+_LIB = Path(__file__).parent / "_serialshim.so"
+
+
+class Sample(ctypes.Structure):
+    _fields_ = [("fsr", ctypes.c_double), ("ecg", ctypes.c_double),
+                ("gsr", ctypes.c_double), ("t_mono", ctypes.c_double),
+                ("seq", ctypes.c_uint64)]
+
+
+def _compile() -> Path:
+    cmd = ["g++", "-O2", "-shared", "-fPIC", "-std=c++17",
+           str(_SRC), "-o", str(_LIB)]
+    subprocess.run(cmd, check=True, capture_output=True, text=True)
+    return _LIB
+
+
+@functools.lru_cache(maxsize=1)
+def load_serialshim() -> ctypes.CDLL:
+    """Compile (once) and load the native serial shim."""
+    if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
+        _compile()
+    lib = ctypes.CDLL(str(_LIB))
+    lib.parser_create.restype = ctypes.c_void_p
+    lib.parser_create.argtypes = [ctypes.c_uint32]
+    lib.parser_destroy.argtypes = [ctypes.c_void_p]
+    lib.parser_feed.restype = ctypes.c_uint64
+    lib.parser_feed.argtypes = [ctypes.c_void_p,
+                                ctypes.POINTER(ctypes.c_uint8),
+                                ctypes.c_uint32, ctypes.c_double]
+    lib.parser_poll.restype = ctypes.c_uint32
+    lib.parser_poll.argtypes = [ctypes.c_void_p, ctypes.POINTER(Sample),
+                                ctypes.c_uint32]
+    lib.parser_dropped.restype = ctypes.c_uint64
+    lib.parser_dropped.argtypes = [ctypes.c_void_p]
+    lib.parser_pending.restype = ctypes.c_uint64
+    lib.parser_pending.argtypes = [ctypes.c_void_p]
+    lib.serial_open.restype = ctypes.c_int
+    lib.serial_open.argtypes = [ctypes.c_char_p, ctypes.c_int]
+    lib.serial_read_into_parser.restype = ctypes.c_int
+    lib.serial_read_into_parser.argtypes = [ctypes.c_int,
+                                            ctypes.c_void_p,
+                                            ctypes.c_double]
+    lib.serial_write_byte.restype = ctypes.c_int
+    lib.serial_write_byte.argtypes = [ctypes.c_int, ctypes.c_uint8]
+    lib.serial_close.argtypes = [ctypes.c_int]
+    return lib
+
+
+class NativeLineParser:
+    """Pythonic wrapper over the C++ ring-buffer parser."""
+
+    def __init__(self, capacity: int = 8192):
+        self._lib = load_serialshim()
+        self._handle = self._lib.parser_create(capacity)
+        if not self._handle:
+            raise MemoryError("parser_create failed")
+
+    def feed(self, data: bytes, t_mono: float = 0.0) -> int:
+        buf = (ctypes.c_uint8 * len(data)).from_buffer_copy(data)
+        return int(self._lib.parser_feed(self._handle, buf, len(data),
+                                         t_mono))
+
+    def poll(self, max_out: int = 1024) -> list[dict]:
+        out = (Sample * max_out)()
+        n = self._lib.parser_poll(self._handle, out, max_out)
+        return [{"fsr": out[i].fsr, "ecg": out[i].ecg,
+                 "gsr": out[i].gsr, "t_mono": out[i].t_mono,
+                 "seq": out[i].seq} for i in range(n)]
+
+    @property
+    def dropped(self) -> int:
+        return int(self._lib.parser_dropped(self._handle))
+
+    @property
+    def pending(self) -> int:
+        return int(self._lib.parser_pending(self._handle))
+
+    def __del__(self):
+        try:
+            self._lib.parser_destroy(self._handle)
+        except Exception:
+            pass

@@ -115,7 +115,8 @@ def fetch_experiment_log(subject_data_dir: Path) -> pd.DataFrame:
 
 
 def prepare_log_frame(log_frame: pd.DataFrame,
-                      set_time_index: bool = True) -> pd.DataFrame:
+                      set_time_index: bool = True,
+                      avg_end_delay_seconds: float = 6.0) -> pd.DataFrame:
     """Parse and enrich a raw experiment log with trial-level metadata.
 
     Parity: reference :136-517.  Derives (in order): Music Category /
@@ -170,7 +171,8 @@ def prepare_log_frame(log_frame: pd.DataFrame,
     log_frame['Song Runtime'] = log_frame['Music'].apply(song_runtime)
 
     # ---------- task frequency / RMSE ----------
-    avg_end_delay_seconds = 6.0  # prevents analysis of end transients
+    # avg_end_delay_seconds (default 6.0) prevents analysis of the RMSE
+    # computation/documentation delay at task end (reference :211-277)
     df = log_frame
     df['Task Frequency'] = df['Questionnaire'].str.extract(
         r'target frequency ([\d.]+)Hz', expand=False)

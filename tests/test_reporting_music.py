@@ -1,0 +1,221 @@
+"""Report generator + native audio feature tests."""
+import wave
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from mba_tpu.pipeline.statistical_reporting import (
+    generate_statistical_report, validate_frames, _required_n_subjects,
+    _clean_param)
+from mba_tpu.pipeline import music_control as mc
+
+
+def _frames():
+    """Minimal but schema-complete six-frame set."""
+    res = pd.DataFrame([
+        {"Hypothesis": "H2", "Dependent_Variable": "CMC_Flexor_max_beta",
+         "Model_Type": "LME",
+         "Comparison_Level": "Level 1 (Category or Silence)",
+         "Parameter": "C(Q('Category or Silence'))[T.Happy]",
+         "Coefficient": 1.2, "SE": 0.3, "SE_adjusted": 0.3,
+         "p_value_adjusted": 0.002, "Cohen_d": 0.8, "N. Segments": n}
+        for n in (1, 5)] + [
+        {"Hypothesis": "H2", "Dependent_Variable": "CMC_Flexor_max_beta",
+         "Model_Type": "LME",
+         "Comparison_Level": "Level 1 (Category or Silence)",
+         "Parameter": "Intercept", "Coefficient": 2.0, "SE": 0.2,
+         "p_value_adjusted": 0.001, "Cohen_d": None, "N. Segments": 1}])
+    diag = pd.DataFrame([{
+        "Hypothesis": "H2", "Dependent_Variable": "CMC_Flexor_max_beta",
+        "Model_Type": "LME",
+        "Comparison_Level": "Level 1 (Category or Silence)",
+        "N_Observations": 200, "Shapiro_p": 0.2, "Design_Effect": 1.1,
+        "ICC": 0.4, "AIC": 512.3}])
+    power = pd.DataFrame([{
+        "Dependent_Variable": "CMC_Flexor_max_beta",
+        "Parameter": "C(Q('Category or Silence'))[T.Happy]",
+        "Comparison_Level": 1, "Power_at_Observed_Effect": 0.92,
+        "MDE_at_80%_power": 0.8}])
+    influence = pd.DataFrame([{
+        "Dependent_Variable": "CMC_Flexor_max_beta",
+        "Comparison_Level": 1, "N_Segments": 1,
+        "Parameter": "C(Q('Category or Silence'))[T.Happy]",
+        "Subject_ID": s, "DFBETA": 0.1, "DFBETA_Flagged": False,
+        "CooksD": 0.05, "CooksD_Flagged": False,
+        "CooksD_Threshold": 0.33} for s in range(6)])
+    het = pd.DataFrame([{
+        "Hypothesis": "H2", "Dependent_Variable": "CMC_Flexor_max_beta",
+        "Subject_ID": s, "Condition": "Happy", "Responder_Flag": True}
+        for s in range(6)])
+    cbpa = pd.DataFrame([{
+        "hypothesis": "H2_happy_vs_silence", "modality": "CMC",
+        "freq_band": "beta", "condition_A": "Happy",
+        "condition_B": "Silence", "cluster_index": 1, "p_value": 0.01,
+        "significant": True, "peak_t": 4.2, "n_channels": 5}])
+    mi = pd.DataFrame([{"Condition": "Happy", "Target": "CooksD",
+                        "Moderating_Candidates": "Musical skill (0.31)"}])
+    clusters = pd.DataFrame({"Subject_ID": range(6),
+                             "Cluster": [0, 0, 0, 1, 1, 1]})
+    return res, diag, power, influence, het, cbpa, mi, clusters
+
+
+class TestReport:
+    def test_generates_complete_report(self, tmp_path):
+        res, diag, power, influence, het, cbpa, mi, clusters = _frames()
+        groups = [{"name": "Music categories",
+                   "dvs": ["CMC_Flexor_max_beta"],
+                   "comparison_level": 1,
+                   "predictors": {"Happy vs Silence":
+                                  ["C(Q('Category or Silence'))"
+                                   "[T.Happy]"]}}]
+        path = generate_statistical_report(
+            res, diag, power, influence, het, cbpa, mi, clusters,
+            output_dir=tmp_path, primary_n_segments=1,
+            resolution_segments=[1, 5], hypothesis_groups=groups,
+            n_subjects=6,
+            level_definitions=[
+                {"condition_vars": {"Category or Silence":
+                                    "categorical"},
+                 "explanatory_vars": []}])
+        text = path.read_text()
+        assert "# Statistical Analysis Report" in text
+        assert "Category or Silence: Happy" in text   # cleaned param name
+        assert "## Overview" in text
+        assert "Predictor Quality" in text
+        assert "🟢" in text                            # well-powered green
+        assert "Sample-Size Estimation" in text
+        assert "CBPA clusters" in text
+        assert "Subject Clusters" in text
+        assert "Moderator Candidates" in text
+        assert "Model diagnostics" in text
+        assert "Cross-resolution" in text
+
+    def test_fdr_reapplication_path(self, tmp_path):
+        res, diag, power, influence, het, cbpa, mi, clusters = _frames()
+        # duplicate parameters so a level-1 family of ≥2 exists
+        extra = res.iloc[[0]].copy()
+        extra["Parameter"] = "C(Q('Category or Silence'))[T.Sad]"
+        extra["p_value_adjusted"] = 0.04
+        res2 = pd.concat([res, extra], ignore_index=True)
+        path = generate_statistical_report(
+            res2, diag, power, influence, het, cbpa, mi, clusters,
+            output_dir=tmp_path, fdr_levels_to_correct=[1],
+            resolution_segments=[1])
+        assert path.exists()
+
+    def test_validate_frames_reports_missing(self):
+        warnings_list = validate_frames({
+            "omnibus_results": pd.DataFrame({"Hypothesis": [1]}),
+            "power_analysis": pd.DataFrame()})
+        assert any("missing columns" in w for w in warnings_list)
+        assert any("empty" in w for w in warnings_list)
+
+    def test_required_n_subjects_scaling(self):
+        # β = 2·SE at n=10 → z≈2.8 → needs roughly double the subjects
+        n = _required_n_subjects(beta=0.4, se=0.2, n_current=10)
+        assert 15 <= n <= 25
+        assert _required_n_subjects(0.0, 0.2, 10) is None
+
+    def test_clean_param(self):
+        assert _clean_param("C(Q('Category or Silence'))[T.Happy]") == \
+            "Category or Silence: Happy"
+        assert _clean_param("C(Cat)[T.X]") == "Cat: X"
+        assert _clean_param("Q('Median Force Level [0-1]')") == \
+            "Median Force Level [0-1]"
+
+
+def _write_wav(path, y, sr):
+    y16 = (np.clip(y, -1, 1) * 32767).astype(np.int16)
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(y16.tobytes())
+
+
+def _click_track(sr=22050, seconds=12, bpm=120, click_hz=1000):
+    """Metronome-like click track with known tempo."""
+    t = np.arange(int(sr * seconds)) / sr
+    y = 0.002 * np.random.default_rng(0).standard_normal(len(t))
+    period = 60.0 / bpm
+    for beat in np.arange(0.1, seconds - 0.1, period):
+        idx = int(beat * sr)
+        dur = int(0.03 * sr)
+        y[idx:idx + dur] += (np.hanning(dur)
+                             * np.sin(2 * np.pi * click_hz
+                                      * t[:dur]))
+    return y, sr
+
+
+class TestAudioFeatures:
+    def test_wav_roundtrip_and_stft(self, tmp_path):
+        y, sr = _click_track()
+        p = tmp_path / "click.wav"
+        _write_wav(p, y, sr)
+        loaded, sr2 = mc.load_audio_file(p, duration=5.0)
+        assert sr2 == sr
+        assert len(loaded) == 5 * sr
+        S = mc.compute_stft(loaded)
+        assert S.shape[0] == 1025
+        # click energy at ~1 kHz
+        freqs = np.linspace(0, sr / 2, S.shape[0])
+        peak_freq = freqs[np.argmax(S.mean(axis=1)[10:]) + 10]
+        assert 800 < peak_freq < 1300
+
+    def test_bpm_detection(self):
+        y, sr = _click_track(bpm=120)
+        bpm, beats, intervals = mc.compute_bpm_and_beat_times_and_intervals(
+            y, sr, verbose=False)
+        assert abs(bpm - 120) < 6 or abs(bpm - 60) < 3  # octave tolerance
+        assert len(beats) > 5
+
+    def test_onsets_and_ioi(self):
+        y, sr = _click_track(bpm=120, seconds=10)
+        onsets = mc.compute_onset_times(y, sr)
+        assert len(onsets) >= 10
+        entropy, cv = mc.compute_ioi_entropy_and_var_coefficient(
+            onsets, verbose=False)
+        assert cv < 0.35   # metronome: near-regular intervals
+
+    def test_syncopation_on_beat(self):
+        y, sr = _click_track(bpm=120)
+        bpm, beats, intervals = \
+            mc.compute_bpm_and_beat_times_and_intervals(y, sr,
+                                                        verbose=False)
+        onsets = mc.compute_onset_times(y, sr)
+        degree, ratio = mc.compute_syncopation_degree(
+            beats, onsets, intervals, verbose=False)
+        assert degree is not None
+        assert degree < 0.5   # clicks sit on the beat grid
+
+    def test_all_features_bundle(self, tmp_path):
+        y, sr = _click_track(seconds=8)
+        p = tmp_path / "t.wav"
+        _write_wav(p, y, sr)
+        bpm, flux, centroid, ioi_cv, sync_d, sync_r = \
+            mc.compute_all_musical_features(p, duration=8.0)
+        assert np.isfinite(bpm)
+        assert flux.min() >= 0 and flux.max() <= 1
+        assert centroid.mean() > 0
+
+    def test_non_wav_rejected(self, tmp_path):
+        with pytest.raises(ValueError, match="WAV"):
+            mc.load_audio_file(tmp_path / "song.mp3")
+
+
+class TestSpotifyController:
+    def test_noop_mode_and_playlists(self, tmp_path):
+        sel = tmp_path / "music_selection.txt"
+        sel.write_text("Happy --- spotify:track:aaa, spotify:track:bbb\n"
+                       "Sad --- spotify:track:ccc, spotify:track:ddd\n")
+        ctl = mc.SpotifyController(sel)
+        assert set(ctl.category_url_dict) == {"Happy", "Sad"}
+        # round robin without osascript (no-op mode)
+        assert ctl.play_next_from("Happy") == "spotify:track:aaa"
+        assert ctl.play_next_from("Happy") == "spotify:track:bbb"
+        assert ctl.play_next_from("Happy") == "spotify:track:aaa"
+        assert ctl.play_next_from("Unknown") is None
+        info = ctl.get_current_track()
+        assert info["Title"] is None  # no-op mode
