@@ -841,13 +841,16 @@ def fetch_serial_measurements(subject_data_dir: Path,
     def load(path: Path) -> pd.DataFrame:
         df = pd.read_csv(path)
         unnamed = [c for c in df.columns if str(c).startswith('Unnamed')]
-        if unnamed:
+        if 'Time' in df.columns:
+            # named Time column present: unnamed cols are index artifacts
+            df = df.drop(columns=unnamed)
+            df['Time'] = pd.to_datetime(df['Time'])
+            df = df[['Time'] + [c for c in df.columns if c != 'Time']]
+        elif unnamed:
             time_col = unnamed[-1]
             df[time_col] = pd.to_datetime(df[time_col])
             df = df.drop(columns=[c for c in unnamed if c != time_col])
             df = df.rename(columns={time_col: 'Time'})
-        elif 'Time' in df.columns:
-            df['Time'] = pd.to_datetime(df['Time'])
         return df
 
     def clip(df: pd.DataFrame, n_seconds: int) -> pd.DataFrame:

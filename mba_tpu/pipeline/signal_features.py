@@ -146,7 +146,10 @@ def _build_task_window_mask(time_centers_sec: np.ndarray,
                             log_frame: pd.DataFrame,
                             pre_buffer_sec: float,
                             post_buffer_sec: float,
-                            verbose: bool = True) -> np.ndarray:
+                            verbose: bool = True,
+                            task_latency_assumption_sec: float = 3.25,
+                            task_end_cutoff_sec: float = 2.0
+                            ) -> np.ndarray:
     """Boolean mask of windows whose centre falls inside a buffered task.
 
     Parity: reference :842-895 — trial spans and measurement start come
@@ -160,7 +163,9 @@ def _build_task_window_mask(time_centers_sec: np.ndarray,
         log_frame)
     measurement_start = make_timezone_aware(pd.Timestamp(measurement_start))
     trial_start_ends = data_integration.get_all_task_start_ends(
-        log_frame, output_type='list')
+        log_frame, output_type='list',
+        assumed_latency_sec=task_latency_assumption_sec,
+        cut_off_sec_to_prevent_transients=task_end_cutoff_sec)
     return task_window_mask_from_spans(
         time_centers_sec, trial_start_ends, measurement_start,
         pre_buffer_sec, post_buffer_sec, verbose=verbose)
@@ -206,6 +211,8 @@ def compute_task_wise_aggregated_cmc(
         pre_trial_computation_buffer_sec: float = 3.0,
         post_trial_computation_buffer_sec: float = 3.0,
         window_mask: np.ndarray | None = None,
+        task_latency_assumption_sec: float = 3.25,
+        task_end_cutoff_sec: float = 2.0,
 ) -> tuple:
     """EMG-max-aggregated task-selective CMC (reference :898-1026).
 
@@ -239,7 +246,9 @@ def compute_task_wise_aggregated_cmc(
         window_mask = _build_task_window_mask(
             time_centers_preview, log_frame,
             pre_buffer_sec=pre_trial_computation_buffer_sec,
-            post_buffer_sec=post_trial_computation_buffer_sec)
+            post_buffer_sec=post_trial_computation_buffer_sec,
+            task_latency_assumption_sec=task_latency_assumption_sec,
+            task_end_cutoff_sec=task_end_cutoff_sec)
 
     # reference applies the significance mask BEFORE the EMG max, so the
     # fused on-chip aggregation is only used when thresholding is off

@@ -1,0 +1,189 @@
+"""Full synthetic study: acquisition → features → statistics → report.
+
+Drives the COMPLETE framework chain with no hardware and no real data:
+1. headless dummy-sampler experiments for 3 subjects (phase machine)
+2. log enrichment (data_integration_workflow)
+3. synthetic EEG/EMG with planted beta-band CMC during music trials
+4. PSD + task-wise CMC + enriched serial frame (feature extraction)
+5. Combined Statistics frame (data preparation workflow)
+6. omnibus OLS/LME levels + FDR (RQ-A machinery)
+7. Markdown report
+
+This is the "multi-node without a real cluster" analog (SURVEY.md §4):
+the dummy backend exercises every seam the real study uses.
+"""
+import numpy as np
+import pandas as pd
+import pytest
+
+from mba_tpu.acquisition.experiment import (ExperimentConfig,
+                                            start_experiment_processes)
+from mba_tpu.workflows.data_integration_workflow import integrate_subject
+from mba_tpu.workflows.subject_feature_extraction_workflow import (
+    extract_psd_features, extract_cmc_features,
+    build_enriched_serial_frame)
+from mba_tpu.workflows.statistics_data_preparation_workflow import (
+    build_combined_statistics_frame)
+from mba_tpu.workflows.statistics_RQ_A_omnibus_testing_workflow import (
+    run_omnibus)
+from mba_tpu.workflows.statistics_report_workflow import build_report
+from mba_tpu.pipeline import data_integration as di
+from mba_tpu.pipeline import data_analysis
+
+FS = 128.0
+TIME_SCALE = 0.05            # 45 s trials → 2.25 s
+N_SUBJECTS = 3
+
+
+def _synth_recording(log_df, seed,
+                     cmc_boost_categories=("Familiar Happy",)):
+    """EEG/EMG spanning the recording, with beta-band coupling during
+    music trials of the boosted categories."""
+    rng = np.random.default_rng(seed)
+    log_df = log_df.copy()
+    log_df.index = data_analysis.make_timezone_aware(
+        pd.DatetimeIndex(pd.to_datetime(log_df["Time"])))
+    start, end = di.get_qtc_measurement_start_end(log_df, verbose=False)
+    n = int((end - start).total_seconds() * FS)
+    t = np.arange(n) / FS
+
+    white = rng.standard_normal(n)
+    spec = np.fft.rfft(white)
+    f = np.fft.rfftfreq(n, 1 / FS)
+    spec[(f < 18) | (f > 25)] = 0
+    shared = np.fft.irfft(spec, n=n)
+    shared /= shared.std() + 1e-12
+
+    # coupling gain: 1 inside boosted-category trials, else 0.1
+    gain = np.full(n, 0.1)
+    spans = di.get_all_task_start_ends(log_df, 'list',
+                                       assumed_latency_sec=0.0,
+                                       cut_off_sec_to_prevent_transients
+                                       =0.0)
+    for (ts, te) in spans:
+        cat = log_df.loc[ts:te, "Music Category"].dropna()
+        cat = cat[cat != "No category"]
+        label = cat.iloc[0] if len(cat) else "Silence"
+        if label in cmc_boost_categories:
+            i0 = max(int((ts - start).total_seconds() * FS), 0)
+            i1 = min(int((te - start).total_seconds() * FS), n)
+            gain[i0:i1] = 1.0
+
+    drive = shared * gain
+    eeg = (0.8 * drive[:, None]
+           + rng.standard_normal((n, 64))).astype(np.float32)
+    emg1 = (0.8 * drive[:, None]
+            + rng.standard_normal((n, 4))).astype(np.float32)
+    emg2 = (0.2 * drive[:, None]
+            + rng.standard_normal((n, 4))).astype(np.float32)
+    return eeg, emg1, emg2
+
+
+@pytest.fixture(scope="module")
+def study(tmp_path_factory):
+    """Run the full chain once for the module."""
+    # the 5.5-s accuracy warm-up scales with the compressed trials
+    orig_offset = di.TRIAL_ACCURACY_START_OFFSET_SEC
+    di.TRIAL_ACCURACY_START_OFFSET_SEC = 5.5 * TIME_SCALE
+    root = tmp_path_factory.mktemp("study")
+    exp_data = root / "data" / "experiment_results"
+    feat_data = root / "data" / "precomputed_features"
+    out_dir = root / "output"
+    feat_data.mkdir(parents=True)
+
+    for subject in range(N_SUBJECTS):
+        # 1. headless experiment
+        cfg = ExperimentConfig(
+            subject_id=subject, output_dir=exp_data,
+            trial_duration_sec=45.0, n_trials_per_category=1,
+            categories=["Familiar Happy", "Familiar Sad"],
+            n_silence_trials=1,
+            task_frequencies_hz=[0.5], mvc_calibration_sec=6.0,
+            dummy_mode=True)
+        start_experiment_processes(cfg, time_scale=TIME_SCALE)
+
+        # 2. log enrichment (scaled end-delay for the tiny trials)
+        enriched = integrate_subject(subject, exp_data, validate=False,
+                                     avg_end_delay_seconds=0.05)
+
+        # 3.+4. synthetic signals → features
+        subject_feat = feat_data / f"subject_{subject:02}"
+        subject_feat.mkdir()
+        eeg, emg1, emg2 = _synth_recording(enriched, seed=subject)
+        extract_psd_features(subject_feat, eeg, emg1, emg2, FS,
+                             window_length_sec=0.25)
+        log_indexed = di.fetch_enriched_log_frame(
+            exp_data / f"subject_{subject:02}", verbose=False)
+        extract_cmc_features(
+            subject_feat, eeg, emg1, emg2, FS, log_frame=log_indexed,
+            window_size_sec=0.5, buffer_sec=0.2,
+            task_latency_assumption_sec=0.1, task_end_cutoff_sec=0.05)
+        build_enriched_serial_frame(
+            exp_data / f"subject_{subject:02}")
+
+    # 5. combined statistics (1 segment per trial; tiny-trial timings)
+    combined = build_combined_statistics_frame(
+        list(range(N_SUBJECTS)), exp_data, feat_data,
+        n_within_trial_segments=1,
+        psd_time_window_size_sec=0.25, cmc_time_window_size_sec=0.5,
+        n_onset_seconds_to_discard=0.2,
+        task_latency_assumption_sec=0.1,
+        task_end_transient_cutoff_sec=0.05)
+    di.TRIAL_ACCURACY_START_OFFSET_SEC = orig_offset
+    return {"root": root, "exp_data": exp_data, "feat_data": feat_data,
+            "out_dir": out_dir, "combined": combined}
+
+
+class TestFullStudy:
+    def test_combined_frame_schema(self, study):
+        df = study["combined"]
+        assert df["Subject ID"].nunique() == N_SUBJECTS
+        # 3 trials × 1 segment per subject
+        assert len(df) == N_SUBJECTS * 3
+        for col in ["CMC_Flexor_max_beta", "PSD_eeg_F_C_beta",
+                    "Category or Silence", "Median_Heart_Rate",
+                    "RMS_Accuracy", "Musical skill [0-7]",
+                    "Liking_centered_squared", "Segment ID"]:
+            assert col in df.columns, col
+        assert set(df["Category or Silence"].dropna()) <= \
+            {"Happy", "Sad", "Silence"}
+        # accuracy was measured for every trial
+        assert df["RMS_Accuracy"].notna().all()
+
+    def test_planted_cmc_effect_visible(self, study):
+        df = study["combined"]
+        cmc = pd.to_numeric(df["CMC_Flexor_max_beta"], errors="coerce")
+        happy = cmc[df["Category or Silence"] == "Happy"]
+        silence = cmc[df["Category or Silence"] == "Silence"]
+        assert happy.mean() > silence.mean()  # the planted coupling
+
+    def test_omnibus_and_report(self, study):
+        stats_dir = study["out_dir"] / "rq_a"
+        # small custom level set suited to the 3-condition toy study
+        def levels(multi):
+            return [{
+                'df_filter': None,
+                'condition_vars': {'Category or Silence': 'categorical'},
+                'reference_categories': {'Category or Silence':
+                                         'Silence'},
+                'explanatory_vars': [], 'moderation_pairs': None}]
+        combined = run_omnibus(
+            study["feat_data"], stats_dir,
+            n_within_trial_segments_list=[1],
+            hypotheses=[('H1: Flexor Beta Peak CMC',
+                         'CMC_Flexor_max_beta')],
+            level_definitions_factory=levels,
+            fdr_levels=[], make_forest_mosaics=True)
+        assert not combined.empty
+        happy = combined[
+            (combined["Parameter"].str.contains("T.Happy"))
+            & (combined["Model_Type"] == "LME")]
+        assert len(happy) == 1
+        assert happy["Coefficient"].iloc[0] > 0   # planted direction
+
+        report_path = build_report(stats_dir, stats_dir,
+                                   study["out_dir"] / "reports",
+                                   "RQ_A_toy")
+        text = report_path.read_text()
+        assert "H1: Flexor Beta Peak CMC" in text
+        assert "Category or Silence: Happy" in text
