@@ -229,3 +229,53 @@ def import_otb4_to_csv(otb4_path: str, output_dir: str,
         'output_files': output_files,
         'track_info': parsed["track_info"],
     }
+
+
+def show_graph(otb4_path_or_data, sampling_freq: float | None = None,
+               channels: list[int] | None = None,
+               max_seconds: float | None = 10.0,
+               decimate_to: int = 4000,
+               save_dir: str | Path | None = None,
+               show: bool = False):
+    """Stacked-trace signal viewer for an OTB4 recording.
+
+    Analog of the reference's PyQt5/pyqtgraph ``show_graph()``
+    (otb_file_handling.py:18-51), rebuilt on matplotlib so it runs
+    headless.  Accepts either an .otb4 path or an already-parsed
+    (n_channels, n_samples) array (+ ``sampling_freq``).  Traces are
+    offset-stacked; long recordings are decimated for display only.
+    """
+    import matplotlib.pyplot as plt
+
+    if isinstance(otb4_path_or_data, (str, Path)):
+        parsed = read_otb4(otb4_path_or_data, verbose=False)
+        name, data, fs = parsed["signals"][0]
+    else:
+        data = np.asarray(otb4_path_or_data)
+        fs = float(sampling_freq or 1.0)
+        name = "signal"
+    if channels is not None:
+        data = data[channels]
+    if max_seconds is not None:
+        data = data[:, :int(max_seconds * fs)]
+    step = max(data.shape[1] // decimate_to, 1)
+    view = data[:, ::step]
+    t = np.arange(view.shape[1]) * step / fs
+
+    spread = np.nanmedian(np.nanstd(view, axis=1)) * 6 or 1.0
+    fig, ax = plt.subplots(figsize=(12, 0.35 * view.shape[0] + 2))
+    for i, row in enumerate(view):
+        ax.plot(t, row - np.nanmean(row) + i * spread, lw=0.5)
+    ax.set_yticks(np.arange(view.shape[0]) * spread)
+    ax.set_yticklabels([f"ch{c}" for c in
+                        (channels or range(view.shape[0]))], fontsize=6)
+    ax.set_xlabel("time [s]")
+    ax.set_title(f"{name} — {view.shape[0]} channels @ {fs:g} Hz")
+    if save_dir is not None:
+        from mba_tpu.pipeline.visualizations import smart_save_fig
+        smart_save_fig(save_dir, "OTB4 Signal Viewer", fig=fig)
+    if show:
+        plt.show()
+    else:
+        plt.close(fig)
+    return fig, ax

@@ -155,6 +155,69 @@ def initialise_electrode_heatmap(data: np.ndarray,
     return fig, ax
 
 
+def animate_electrode_heatmap(data: np.ndarray,
+                              positions: dict | None = None,
+                              add_head_shape: bool = True,
+                              value_label: str = "Value",
+                              plot_title: str = "Electrode Heatmap",
+                              fps: float = 10.0,
+                              max_frames: int | None = None,
+                              save_path: str | Path | None = None,
+                              show: bool = False):
+    """Animated scalp/grid heatmap over time (reference :317-520, the
+    FuncAnimation branch of the electrode-heatmap family).
+
+    data: (n_channels, n_timesteps).  Color limits are fixed to the
+    global range so frames are comparable.  Returns (fig, animation);
+    with ``save_path`` the animation is written as a GIF via
+    PillowWriter (no ffmpeg dependency).
+    """
+    from matplotlib.animation import FuncAnimation, PillowWriter
+
+    positions = positions or EEG_POSITIONS
+    values = np.asarray(data)
+    if values.ndim != 2:
+        raise ValueError("animate_electrode_heatmap expects "
+                         "(n_channels, n_timesteps)")
+    n_frames = values.shape[1] if max_frames is None \
+        else min(values.shape[1], max_frames)
+    names = list(positions.keys())[:values.shape[0]]
+    xs = np.array([positions[ch][0] for ch in names])
+    ys = np.array([positions[ch][1] for ch in names])
+    vmin, vmax = (float(np.nanmin(values)), float(np.nanmax(values)))
+
+    fig, ax = plt.subplots(figsize=(6, 6))
+    sc = ax.scatter(xs, ys, c=values[:len(names), 0], s=350,
+                    cmap="RdBu_r", edgecolors="k", zorder=3,
+                    vmin=vmin, vmax=vmax)
+    for x, y, ch in zip(xs, ys, names):
+        ax.annotate(ch, (x, y), ha="center", va="center", fontsize=5,
+                    zorder=4)
+    if add_head_shape:
+        r = 1.15 * max(np.abs(xs).max(), np.abs(ys).max())
+        ax.add_patch(plt.Circle((0, 0), r, fill=False, lw=1.5))
+    ax.set_aspect("equal")
+    ax.axis("off")
+    title = ax.set_title(f"{plot_title} — t=0")
+    fig.colorbar(sc, ax=ax, label=value_label, shrink=0.7)
+
+    def update(frame):
+        sc.set_array(values[:len(names), frame])
+        title.set_text(f"{plot_title} — t={frame}")
+        return [sc, title]
+
+    anim = FuncAnimation(fig, update, frames=n_frames,
+                         interval=1000.0 / fps, blit=False,
+                         cache_frame_data=False)
+    if save_path is not None:
+        anim.save(str(save_path), writer=PillowWriter(fps=fps))
+    if show:
+        plt.show()
+    else:
+        plt.close(fig)
+    return fig, anim
+
+
 # ══════════════════════════════════════════════════════════════════════
 #  scatter / CI-line family (reference :924-1743)
 # ══════════════════════════════════════════════════════════════════════
