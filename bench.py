@@ -115,12 +115,17 @@ def tpu_rate(eeg, emg):
                        window_length_sec=WINDOW_SEC, overlap_frac=OVERLAP,
                        use_jackknife=True, aggregate_emg_max=True,
                        apply_independence_threshold=False)
-    t0 = time.perf_counter()
-    res = multitaper_msc(eeg, emg, FS, nw=NW,
-                         window_length_sec=WINDOW_SEC, overlap_frac=OVERLAP,
-                         use_jackknife=True, aggregate_emg_max=True,
-                         apply_independence_threshold=False)
-    elapsed = time.perf_counter() - t0
+    # median of 3 timed runs — the tunneled link's bandwidth varies a lot
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        res = multitaper_msc(eeg, emg, FS, nw=NW,
+                             window_length_sec=WINDOW_SEC,
+                             overlap_frac=OVERLAP,
+                             use_jackknife=True, aggregate_emg_max=True,
+                             apply_independence_threshold=False)
+        times.append(time.perf_counter() - t0)
+    elapsed = float(np.median(times))
     n_windows = res["metadata"]["n_windows"]
     rate = n_windows * N_EEG * N_EMG / elapsed
     return rate, elapsed, n_windows
@@ -147,6 +152,84 @@ def surrogate_null_wall(n_surrogates=10_000):
     return elapsed, res
 
 
+def single_pair_pipeline_wall():
+    """BASELINE.json config 1: zero-phase bandpass + notch + epoch +
+    CMC spectrum for a single EEG×EMG pair."""
+    from mba_tpu.ops.filters import bandpass_filter, notch_filter
+    from mba_tpu.ops.coherence import multitaper_msc
+
+    rng = np.random.default_rng(1)
+    n = int(FS * SECONDS)
+    eeg = rng.standard_normal((n, 1)).astype(np.float32)
+    emg = rng.standard_normal((n, 1)).astype(np.float32)
+
+    def run():
+        e = notch_filter(bandpass_filter(eeg, FS, 0.1, 100.0), FS,
+                         [50.0 * i for i in range(1, 5)])
+        m = notch_filter(bandpass_filter(emg, FS, 20.0, 500.0), FS,
+                         [50.0 * i for i in range(1, 5)])
+        return multitaper_msc(np.asarray(e), np.asarray(m), FS, nw=NW,
+                              window_length_sec=WINDOW_SEC,
+                              overlap_frac=OVERLAP, use_jackknife=True,
+                              apply_independence_threshold=False)
+
+    run()                                    # compile warm-up
+    t0 = time.perf_counter()
+    run()
+    return time.perf_counter() - t0
+
+
+def batched_preprocessing_rate():
+    """BASELINE.json config 2: batched 64-ch bandpass + notch + epoch."""
+    from mba_tpu.ops.filters import bandpass_filter, notch_filter
+    from mba_tpu.ops.framing import frame_signal
+
+    rng = np.random.default_rng(2)
+    n = int(FS * SECONDS)
+    data = rng.standard_normal((n, N_EEG)).astype(np.float32)
+
+    ws = int(WINDOW_SEC * FS)
+    hop = int(ws * (1 - OVERLAP))
+    starts = np.arange(0, n - ws + 1, hop)
+
+    def run():
+        x = bandpass_filter(data, FS, 0.1, 100.0)
+        x = notch_filter(x, FS, [50.0 * i for i in range(1, 5)])
+        return frame_signal(x, starts, ws)
+
+    run()                                    # compile warm-up
+    t0 = time.perf_counter()
+    run()
+    elapsed = time.perf_counter() - t0
+    return n * N_EEG / elapsed, elapsed      # channel-samples/s
+
+
+def cohort_permutation_rate(n_permutations=1000):
+    """BASELINE.json config 5: spatio-temporal cluster permutation
+    omnibus over a 12-subject cohort contrast."""
+    from mba_tpu.ops.permutation import (cluster_permutation_1samp_test,
+                                         delaunay_channel_adjacency,
+                                         combine_adjacency)
+    from mba_tpu.pipeline.cbpa import CMC_EEG_CHANNEL_SUBSET
+
+    rng = np.random.default_rng(5)
+    n_subj, n_times = 12, 40
+    ch = CMC_EEG_CHANNEL_SUBSET
+    X = (0.3 + rng.standard_normal((n_subj, n_times, len(ch)))
+         ).astype(np.float32)
+    adj = combine_adjacency(n_times, delaunay_channel_adjacency(ch))
+    # one device dispatch for the whole null (compile warm-up first)
+    cluster_permutation_1samp_test(X, adj, n_permutations=n_permutations,
+                                   tail=1,
+                                   permutation_chunk=n_permutations)
+    t0 = time.perf_counter()
+    cluster_permutation_1samp_test(X, adj, n_permutations=n_permutations,
+                                   tail=1,
+                                   permutation_chunk=n_permutations)
+    elapsed = time.perf_counter() - t0
+    return n_permutations / elapsed, elapsed
+
+
 def main():
     eeg, emg = make_signals()
     log(f"workload: {SECONDS:.0f}s @ {FS:.0f} Hz, {N_EEG}x{N_EMG} pairs, "
@@ -165,6 +248,25 @@ def main():
         log(f"10k-surrogate single-pair null: {t_null:.2f}s wall")
     except Exception as e:  # secondary metric must not break the primary
         log(f"surrogate bench failed: {e!r}")
+
+    # remaining BASELINE.json configs (secondary, stderr only)
+    try:
+        t_pair = single_pair_pipeline_wall()
+        log(f"config-1 single-pair filter+notch+CMC: {t_pair:.2f}s wall")
+    except Exception as e:
+        log(f"config-1 bench failed: {e!r}")
+    try:
+        rate_pre, t_pre = batched_preprocessing_rate()
+        log(f"config-2 batched 64-ch preprocessing: {t_pre:.2f}s "
+            f"→ {rate_pre:,.0f} channel-samples/s")
+    except Exception as e:
+        log(f"config-2 bench failed: {e!r}")
+    try:
+        rate_perm, t_perm = cohort_permutation_rate()
+        log(f"config-5 cohort cluster permutations: {t_perm:.2f}s "
+            f"→ {rate_perm:,.0f} permutations/s")
+    except Exception as e:
+        log(f"config-5 bench failed: {e!r}")
 
     print(json.dumps({
         "metric": "cmc_spectra_per_sec_per_chip",

@@ -117,35 +117,56 @@ def _t_maps(signs, X_flat, sum_sq):
     return mean / se
 
 
-def _max_cluster_mass(t_map, edges, threshold, tail, n_nodes):
-    """Maximum cluster mass for one t-map via label propagation."""
+def _neighbor_table(edges: np.ndarray, n_nodes: int) -> np.ndarray:
+    """Padded per-node neighbor-index table (n_nodes, max_degree).
+
+    Padding entries point at the node itself, so a gather through the
+    table is always in-bounds and padding never changes a max-reduction.
+    Gathers compile and run orders of magnitude faster on TPU than the
+    equivalent edge-list scatter (vmapped scatter-max compile time blows
+    up with the permutation batch width).
+    """
+    nbrs: list[list[int]] = [[] for _ in range(n_nodes)]
+    for a, b in edges:
+        if a != b:
+            nbrs[a].append(int(b))
+            nbrs[b].append(int(a))
+    max_deg = max((len(x) for x in nbrs), default=1) or 1
+    table = np.tile(np.arange(n_nodes, dtype=np.int32)[:, None],
+                    (1, max_deg))
+    for i, x in enumerate(nbrs):
+        table[i, :len(x)] = x
+    return table
+
+
+def _max_cluster_mass(t_map, nbr_table, threshold, tail, n_nodes):
+    """Maximum cluster mass for one t-map via gather-based label
+    propagation with pointer jumping (Shiloach–Vishkin style): each
+    supra-threshold node repeatedly (a) hooks to the max label among its
+    supra neighbors and (b) shortcuts to its representative's label.
+    Reach at least doubles per round, so ``ceil(log2(N)) + 2`` static
+    rounds suffice — a fixed-trip ``fori_loop``, NO dynamic
+    ``while_loop`` (whose first execution stalls for minutes on the
+    tunneled TPU backend) and NO scatters (whose vmapped compile time
+    blows up with the permutation batch width)."""
+    n_iters = int(np.ceil(np.log2(max(n_nodes, 2)))) + 2
 
     def mass_for(supra, tvals):
         labels = jnp.where(supra,
                            jnp.arange(n_nodes, dtype=jnp.int32), -1)
 
-        def body(labels):
-            la = labels[edges[:, 0]]
-            lb = labels[edges[:, 1]]
-            both = (la >= 0) & (lb >= 0)
-            hi = jnp.maximum(la, lb)
-            upd_a = jnp.where(both, hi, la)
-            upd_b = jnp.where(both, hi, lb)
-            new = labels
-            new = new.at[edges[:, 0]].max(upd_a)
-            new = new.at[edges[:, 1]].max(upd_b)
-            return new
-
-        def cond(state):
-            labels, prev, it = state
-            return (it < n_nodes) & jnp.any(labels != prev)
-
-        def step(state):
-            labels, _, it = state
-            return body(labels), labels, it + 1
-
-        labels, _, _ = jax.lax.while_loop(
-            cond, step, (body(labels), labels, jnp.int32(1)))
+        # fully unrolled (≈11 rounds at 440 nodes): even fori_loop would
+        # lower to an HLO While, and any dynamic control flow pays the
+        # first-execution stall on the tunneled backend
+        for _ in range(n_iters):
+            nl = labels[nbr_table]                 # (n_nodes, max_deg)
+            nbr_max = jnp.max(nl, axis=1)          # -1 neighbors ignored
+            labels = jnp.where(labels >= 0,
+                               jnp.maximum(labels, nbr_max), -1)
+            # pointer jump: adopt the representative's (supra) label
+            rep = jnp.where(labels >= 0, labels, 0)
+            labels = jnp.where(labels >= 0,
+                               jnp.maximum(labels, labels[rep]), -1)
         seg = jnp.where(labels >= 0, labels, 0)
         mass = jax.ops.segment_sum(jnp.where(supra, tvals, 0.0), seg,
                                    num_segments=n_nodes)
@@ -164,7 +185,7 @@ def _max_cluster_mass(t_map, edges, threshold, tail, n_nodes):
 @functools.partial(jax.jit,
                    static_argnames=("tail", "n_nodes", "n_permutations",
                                     "chunk"))
-def _null_distribution(key, X_flat, edges, threshold, tail, n_nodes,
+def _null_distribution(key, X_flat, nbr_table, threshold, tail, n_nodes,
                        n_permutations, chunk=256):
     """Max-cluster-mass null over sign-flip permutations (one program)."""
     n_subj = X_flat.shape[0]
@@ -177,7 +198,7 @@ def _null_distribution(key, X_flat, edges, threshold, tail, n_nodes,
         ).astype(jnp.float32)
         tmaps = _t_maps(signs, X_flat, sum_sq)             # (chunk, N)
         return jax.vmap(
-            lambda tm: _max_cluster_mass(tm, edges, threshold, tail,
+            lambda tm: _max_cluster_mass(tm, nbr_table, threshold, tail,
                                          n_nodes))(tmaps)
 
     keys = jax.random.split(key, n_chunks)
@@ -195,7 +216,7 @@ def cluster_permutation_1samp_test(X: np.ndarray,
                                    tail: int = 0,
                                    alpha_cluster_forming: float = 0.05,
                                    seed: int = 42,
-                                   permutation_chunk: int = 256):
+                                   permutation_chunk: int = 1024):
     """Spatio-temporal cluster-based 1-sample permutation test.
 
     X : (n_subjects, n_times, n_channels) contrast array.
@@ -250,13 +271,11 @@ def cluster_permutation_1samp_test(X: np.ndarray,
         find_clusters(t_obs_flat < -threshold, t_obs_flat)
 
     # permutation null on device
-    edges = _edge_list(adjacency)
-    if len(edges) == 0:
-        edges = np.zeros((1, 2), np.int32)  # isolated nodes only
+    nbr_table = _neighbor_table(_edge_list(adjacency), n_nodes)
     chunk = int(min(permutation_chunk, max(n_permutations, 1)))
     H0_perm = np.asarray(_null_distribution(
         jax.random.PRNGKey(seed), jnp.asarray(X_flat),
-        jnp.asarray(edges), np.float32(threshold), tail, n_nodes,
+        jnp.asarray(nbr_table), np.float32(threshold), tail, n_nodes,
         n_permutations, chunk=chunk))
 
     obs_max = max((abs(m) for m in masses), default=0.0)

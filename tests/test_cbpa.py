@@ -163,3 +163,56 @@ class TestRunCbpa:
                      time_grid=np.arange(20) * 1.0)
         combined = pd.DataFrame(rows)
         assert set(combined["hypothesis"]) == {"run_0", "run_1"}
+
+
+class TestLabelPropagation:
+    """The device cluster search (pointer-jumping label propagation)
+    must match scipy connected components exactly — including on a path
+    graph, the worst case for propagation depth."""
+
+    def _device_max_mass(self, tvals, edges, n_nodes, threshold):
+        import jax
+        from mba_tpu.ops.permutation import (_max_cluster_mass,
+                                             _neighbor_table)
+        tab = _neighbor_table(np.asarray(edges, np.int32), n_nodes)
+        return float(jax.jit(
+            lambda t: _max_cluster_mass(t, tab, threshold, 1, n_nodes)
+        )(tvals.astype(np.float32)))
+
+    def _scipy_max_mass(self, tvals, edges, n_nodes, threshold):
+        import scipy.sparse
+        from scipy.sparse.csgraph import connected_components
+        supra = tvals > threshold
+        idx = np.flatnonzero(supra)
+        if len(idx) == 0:
+            return 0.0
+        adj = scipy.sparse.coo_matrix(
+            (np.ones(len(edges)), (edges[:, 0], edges[:, 1])),
+            shape=(n_nodes, n_nodes))
+        adj = adj + adj.T
+        sub = adj.tocsr()[idx][:, idx]
+        n_comp, labels = connected_components(sub, directed=False)
+        return max(abs(tvals[idx[labels == c]].sum())
+                   for c in range(n_comp))
+
+    def test_path_graph_single_cluster(self):
+        # all 440 nodes supra on a chain: one cluster spanning the graph
+        n = 440
+        edges = np.stack([np.arange(n - 1), np.arange(1, n)], axis=1)
+        tvals = np.ones(n) * 2.5
+        dev = self._device_max_mass(tvals, edges, n, 2.0)
+        assert dev == pytest.approx(n * 2.5, rel=1e-6)
+
+    def test_random_masks_match_scipy(self):
+        rng = np.random.default_rng(0)
+        n = 200
+        # random sparse graph + a chain to create long components
+        chain = np.stack([np.arange(n - 1), np.arange(1, n)], axis=1)
+        extra = rng.integers(0, n, size=(80, 2))
+        edges = np.concatenate([chain, extra])
+        edges = edges[edges[:, 0] != edges[:, 1]]
+        for trial in range(5):
+            tvals = rng.standard_normal(n) * 2.0
+            dev = self._device_max_mass(tvals, edges, n, 1.5)
+            ref = self._scipy_max_mass(tvals, edges, n, 1.5)
+            assert dev == pytest.approx(ref, rel=1e-5), trial
