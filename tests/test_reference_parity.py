@@ -1,0 +1,321 @@
+"""Direct numerical parity against the reference implementation.
+
+These tests import the actual reference package from /root/reference and
+compare its outputs with ours on identical inputs.  They are the ground
+truth for the float32-tolerance parity claim (BASELINE.md).  Skipped
+automatically when the reference checkout (or its deps) is unavailable.
+"""
+import sys
+from pathlib import Path
+from types import SimpleNamespace
+
+import numpy as np
+import pandas as pd
+import pytest
+
+REF = Path("/root/reference")
+pytestmark = pytest.mark.skipif(not REF.exists(),
+                                reason="reference checkout unavailable")
+
+
+@pytest.fixture(scope="module")
+def ref():
+    """Import the reference modules (pure numpy/scipy/pandas subset)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    if str(REF) not in sys.path:
+        sys.path.insert(0, str(REF))
+    # the reference's visualizations module hard-codes mpl.use('Qt5Agg')
+    # at import time; neutralize backend switching while importing it
+    orig_use = matplotlib.use
+    matplotlib.use = lambda *a, **k: None
+    try:
+        from src.pipeline import (signal_features, data_analysis,
+                                  data_integration, data_surrogation)
+    except ImportError as e:                       # missing deps
+        pytest.skip(f"reference import failed: {e}")
+    finally:
+        matplotlib.use = orig_use
+    return SimpleNamespace(features=signal_features,
+                           analysis=data_analysis,
+                           integration=data_integration,
+                           surrogation=data_surrogation)
+
+
+@pytest.fixture(scope="module")
+def mine():
+    from mba_tpu.pipeline import (signal_features, data_analysis,
+                                  data_integration)
+    from mba_tpu.ops import surrogate, coherence, spectral
+    return SimpleNamespace(features=signal_features,
+                           analysis=data_analysis,
+                           integration=data_integration,
+                           surrogate=surrogate, coherence=coherence,
+                           spectral=spectral)
+
+
+def _coupled_signals(fs=256.0, seconds=16.0, n_eeg=4, n_emg=2, seed=0):
+    rng = np.random.default_rng(seed)
+    n = int(fs * seconds)
+    white = rng.standard_normal(n)
+    spec = np.fft.rfft(white)
+    f = np.fft.rfftfreq(n, 1 / fs)
+    spec[(f < 15) | (f > 30)] = 0
+    shared = np.fft.irfft(spec, n=n)
+    shared /= shared.std() + 1e-12
+    eeg = (0.6 * shared[:, None]
+           + rng.standard_normal((n, n_eeg))).astype(np.float64)
+    emg = (0.6 * shared[:, None]
+           + rng.standard_normal((n, n_emg))).astype(np.float64)
+    return eeg, emg
+
+
+class TestSpectralParity:
+    def test_multitaper_psd(self, ref, mine):
+        eeg, _ = _coupled_signals()
+        r_spec, r_t, r_f = ref.features.multitaper_psd(
+            eeg, 256.0, nw=3, window_length_sec=0.5, overlap_frac=0.5,
+            axis=0, apply_log_scale=False)
+        m_spec, m_t, m_f = mine.features.multitaper_psd(
+            eeg, 256.0, nw=3, window_length_sec=0.5, overlap_frac=0.5,
+            axis=0, apply_log_scale=False)
+        np.testing.assert_allclose(m_f, r_f)
+        np.testing.assert_allclose(m_t, r_t)
+        assert m_spec.shape == r_spec.shape
+        np.testing.assert_allclose(m_spec, r_spec, rtol=2e-3, atol=1e-8)
+
+    def test_multitaper_psd_log_scale(self, ref, mine):
+        eeg, _ = _coupled_signals(seed=1)
+        r_spec, _, _ = ref.features.multitaper_psd(
+            eeg, 256.0, nw=3, window_length_sec=0.5, axis=0,
+            apply_log_scale=True)
+        m_spec, _, _ = mine.features.multitaper_psd(
+            eeg, 256.0, nw=3, window_length_sec=0.5, axis=0,
+            apply_log_scale=True)
+        np.testing.assert_allclose(m_spec, r_spec, atol=2e-3)
+
+    def test_spectral_snr(self, ref, mine):
+        eeg, _ = _coupled_signals(seconds=20.0, seed=2)
+        r = ref.features.compute_spectral_snr(eeg, 256.0,
+                                              target_freq=21.5)
+        m = mine.features.compute_spectral_snr(eeg, 256.0,
+                                               target_freq=21.5)
+        np.testing.assert_allclose(np.asarray(m), np.asarray(r),
+                                   atol=5e-3)
+
+    def test_discrete_fourier_transform(self, ref, mine):
+        eeg, _ = _coupled_signals(seed=3)
+        r = ref.features.discrete_fourier_transform(eeg[:, 0], 256.0)
+        m = mine.features.discrete_fourier_transform(eeg[:, 0], 256.0)
+        for a, b in zip(m, r):
+            np.testing.assert_allclose(np.squeeze(np.asarray(a, float)),
+                                       np.squeeze(np.asarray(b, float)),
+                                       rtol=1e-4, atol=1e-6)
+
+
+class TestCoherenceParity:
+    def test_full_cmc_dict(self, ref, mine):
+        eeg, emg = _coupled_signals()
+        n_windows = (eeg.shape[0] - 256) // 128 + 1
+        mask = np.ones(n_windows, bool)
+        mask[1] = False                       # one masked window
+        kwargs = dict(sampling_freq=256.0, nw=3, window_length_sec=1.0,
+                      overlap_frac=0.5, use_jackknife=True,
+                      apply_independence_threshold=True,
+                      window_mask=mask, verbose=False)
+        r = ref.features.multitaper_magnitude_squared_coherence(
+            eeg, emg, **kwargs)
+        m = mine.coherence.multitaper_msc(eeg, emg, **kwargs)
+        np.testing.assert_allclose(m["freqs"], r["freqs"])
+        np.testing.assert_allclose(m["time_centers"], r["time_centers"])
+        assert m["metadata"]["K_tapers"] == r["metadata"]["K_tapers"]
+        assert m["metadata"]["IT_unadjusted"] == pytest.approx(
+            r["metadata"]["IT_unadjusted"], rel=1e-6)
+        np.testing.assert_allclose(m["coherence_raw"],
+                                   r["coherence_raw"], atol=2e-3)
+        np.testing.assert_allclose(m["coherence_ci_lower"],
+                                   r["coherence_ci_lower"], atol=5e-3)
+        np.testing.assert_allclose(m["coherence_ci_upper"],
+                                   r["coherence_ci_upper"], atol=5e-3)
+        # masked window must be exact zeros in both
+        assert not r["coherence_raw"][1].any()
+        assert not np.asarray(m["coherence_raw"])[1].any()
+        # significance masks agree except at threshold-grazing cells
+        agree = (np.asarray(m["coherence_significant"], bool)
+                 == np.asarray(r["coherence_significant"], bool)).mean()
+        assert agree > 0.995
+
+    def test_jackknife_and_threshold_helpers(self, ref, mine):
+        K = 5
+        assert mine.coherence.cmc_independence_threshold(K) == \
+            pytest.approx(
+                ref.features.compute_cmc_independence_threshold(K),
+                rel=1e-9)
+
+
+class TestWindowAlgebraParity:
+    def test_apply_window_operator_all_ops(self, ref, mine):
+        rng = np.random.default_rng(0)
+        t0 = pd.Timestamp("2024-01-01")
+        target_ts = pd.date_range(t0, periods=400, freq="100ms")
+        target = rng.standard_normal((400, 3))
+        # 9 windows so the last window end (36 s) stays inside the
+        # target range (39.9 s) — the reference validates strictly
+        windows = pd.date_range(t0, periods=9, freq="4s")
+        for op in ("mean", "median", "min", "max", "std", "mode"):
+            r = ref.analysis.apply_window_operator(
+                windows, target, target_timestamps=target_ts,
+                window_size=4.0, is_time_center=False, operation=op)
+            m = mine.analysis.apply_window_operator(
+                windows, target, target_timestamps=target_ts,
+                window_size=4.0, is_time_center=False, operation=op)
+            np.testing.assert_allclose(np.asarray(m, float),
+                                       np.asarray(r, float),
+                                       rtol=1e-9, equal_nan=True,
+                                       err_msg=op)
+
+    def test_create_trial_bins(self, ref, mine):
+        rng = np.random.default_rng(1)
+        df = pd.DataFrame({
+            "Subject ID": np.repeat([0, 1], 12),
+            "Trial ID": np.tile(np.repeat(np.arange(6), 2), 2),
+            "Liking": rng.integers(0, 8, 24).astype(float),
+            "Tempo": rng.normal(120, 20, 24)})
+        r = ref.analysis.create_trial_bins(
+            df, ["Liking", "Tempo"], {"Liking": 3, "Tempo": 3})
+        m = mine.analysis.create_trial_bins(
+            df, ["Liking", "Tempo"], {"Liking": 3, "Tempo": 3})
+        for col in r.columns:
+            if col.endswith("_bin"):
+                assert col in m.columns
+                np.testing.assert_array_equal(
+                    m[col].to_numpy(), r[col].to_numpy(), err_msg=col)
+
+    def test_circular_smooth(self, ref, mine):
+        rng = np.random.default_rng(2)
+        profile = rng.standard_normal(36)
+        np.testing.assert_allclose(
+            mine.analysis.circular_smooth(profile, kernel_bins=5),
+            ref.analysis.circular_smooth(profile, kernel_bins=5),
+            rtol=1e-9)
+
+    def test_phase_normalize_cycles(self, ref, mine):
+        fs, task_freq, dur = 100.0, 0.5, 12.0
+        t_rel = np.arange(int(fs * dur)) / fs
+        sig = np.stack([np.sin(2 * np.pi * task_freq * t_rel),
+                        np.cos(2 * np.pi * task_freq * t_rel)], axis=1)
+        grid = np.linspace(0, 350, 36)
+        kwargs = dict(task_freq=task_freq, trial_dur_sec=dur,
+                      phase_grid=grid, min_samples_per_cycle=10,
+                      use_interpolation=True,
+                      interpolation_kind="linear", verbose=False)
+        r = ref.analysis.phase_normalize_cycles(sig, t_rel, **kwargs)
+        m = mine.analysis.phase_normalize_cycles(sig, t_rel, **kwargs)
+        assert len(m) == len(r) and len(r) > 0
+        for a, b in zip(m, r):
+            np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-9)
+
+
+class TestLogEnrichmentParity:
+    @pytest.fixture(scope="class")
+    def raw_log(self):
+        from tests.test_pipeline_data_integration import make_raw_log
+        return make_raw_log()
+
+    def test_prepare_log_frame_columns(self, ref, mine, raw_log):
+        r = ref.integration.prepare_log_frame(raw_log.copy(),
+                                              set_time_index=False)
+        m = mine.integration.prepare_log_frame(raw_log.copy(),
+                                               set_time_index=False)
+        for col in ("Music Category", "Song Title", "Song Artist",
+                    "Song ID", "Silence ID", "Trial ID",
+                    "Task Frequency", "Task RMSE", "Phase",
+                    "Within Category Song Index"):
+            assert col in r.columns, f"reference lacks {col}?"
+            assert col in m.columns, f"we lack {col}"
+            rv = r[col].fillna("<na>").to_numpy(dtype=object)
+            mv = m[col].fillna("<na>").to_numpy(dtype=object)
+            assert len(rv) == len(mv)
+            same = np.array([str(a) == str(b) for a, b in zip(mv, rv)])
+            assert same.all(), (
+                f"{col}: {np.flatnonzero(~same)[:5]} "
+                f"mine={mv[~same][:3]} ref={rv[~same][:3]}")
+
+    def test_task_spans_match(self, ref, mine, raw_log):
+        r_log = ref.integration.prepare_log_frame(raw_log.copy(),
+                                                  set_time_index=True)
+        m_log = mine.integration.prepare_log_frame(raw_log.copy(),
+                                                   set_time_index=True)
+        r_spans = ref.integration.get_all_task_start_ends(r_log, "list")
+        m_spans = mine.integration.get_all_task_start_ends(m_log, "list")
+        assert len(r_spans) == len(m_spans) and len(r_spans) > 0
+        for (rs, re_), (ms, me) in zip(r_spans, m_spans):
+            assert ms == rs and me == re_
+
+    def test_measurement_span_matches(self, ref, mine, raw_log):
+        r_log = ref.integration.prepare_log_frame(raw_log.copy(),
+                                                  set_time_index=True)
+        m_log = mine.integration.prepare_log_frame(raw_log.copy(),
+                                                   set_time_index=True)
+        r_se = ref.integration.get_qtc_measurement_start_end(
+            r_log, verbose=False)
+        m_se = mine.integration.get_qtc_measurement_start_end(
+            m_log, verbose=False)
+        assert tuple(m_se) == tuple(r_se)
+
+
+class TestSerialFeatureParity:
+    def test_heart_rate_and_variability(self, ref, mine):
+        fs, dur = 100.0, 60.0
+        t = np.arange(int(fs * dur)) / fs
+        beat = np.exp(-(((t * 72 / 60) % 1.0 - 0.5) / 0.03) ** 2)
+        idx = pd.date_range("2024-01-01", periods=len(t),
+                            freq=pd.Timedelta(seconds=1 / fs))
+        ecg = pd.Series(beat, index=idx)
+        r_bpm, r_hrv = ref.features.compute_heart_rate_and_variability(
+            ecg, verbose=False)
+        m_bpm, m_hrv = mine.features.compute_heart_rate_and_variability(
+            ecg, verbose=False)
+        np.testing.assert_allclose(np.asarray(m_bpm, float),
+                                   np.asarray(r_bpm, float),
+                                   rtol=1e-6, atol=1e-9, equal_nan=True)
+        np.testing.assert_allclose(np.asarray(m_hrv, float),
+                                   np.asarray(r_hrv, float),
+                                   rtol=1e-6, atol=1e-9, equal_nan=True)
+
+
+class TestSurrogationParity:
+    def test_generate_noise_statistics(self, ref, mine):
+        # RNG streams differ; compare distributional properties
+        shape = (4096, 4)
+        for kind in ("white", "pink"):
+            r = ref.surrogation.generate_noise(shape, kind, 1.0)
+            m = np.asarray(mine.surrogate.generate_noise(
+                shape, kind, 1.0, rng=np.random.default_rng(0)))
+            assert m.shape == r.shape == shape
+            assert m.std() == pytest.approx(r.std(), rel=0.2)
+            if kind == "pink":
+                # 1/sqrt(f) spectrum: low band carries more power
+                def band_ratio(x):
+                    s = np.abs(np.fft.rfft(x[:, 0])) ** 2
+                    return s[1:100].mean() / s[1000:2000].mean()
+                assert band_ratio(m) > 3
+                assert band_ratio(r) > 3
+
+    def test_insert_bad_channels_contract(self, ref, mine):
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((1024, 16))
+        r_out, r_bad = ref.surrogation.insert_bad_channels(
+            x.copy(), axis=0, n_channels=5)
+        m_out, m_bad = mine.surrogate.insert_bad_channels(
+            x.copy(), axis=0, n_channels=5,
+            rng=np.random.default_rng(0))
+        assert len(r_bad) == len(m_bad) == 5
+        for out, bad in ((np.asarray(r_out), r_bad),
+                         (np.asarray(m_out), m_bad)):
+            cols = [b - 1 for b in bad]        # indices are 1-based
+            good = [c for c in range(16) if c not in cols]
+            np.testing.assert_allclose(out[:, good], x[:, good])
+            for c in cols:
+                scale = np.ptp(out[:, c]) / np.ptp(x[:, c])
+                assert 10.0 <= scale <= 15.0
