@@ -334,6 +334,12 @@ def extract_report_ready_mediation_table(
     """Report-ready filtered + renamed table (reference :543-645)."""
     if results_frame is None or results_frame.empty:
         return pd.DataFrame()
+    # if every config early-exited (skipped/insufficient/error), the
+    # fitted-only columns never materialized — nothing to report
+    for col in ("status", "bootstrap_status", "fit_quality",
+                "bootstrap_success_rate", "n_bootstrap"):
+        if col not in results_frame.columns:
+            return pd.DataFrame()
     allowed = (["strict_ok", "relaxed_ok"] if include_relaxed_ok
                else ["strict_ok"])
     table = results_frame[

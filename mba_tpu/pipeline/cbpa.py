@@ -78,6 +78,9 @@ class CBPAConfig:
     psd_time_window_sec: float = 0.25
     cmc_time_window_sec: float = 2.0
     overlap_ratio: float = .5
+    # trial-span timing (reference get_task_start_end defaults)
+    task_latency_assumption_sec: float = 3.25
+    task_end_cutoff_sec: float = 2.0
     psd_is_log_scaled: bool = True
     output_dir: Path = field(
         default_factory=lambda: Path().resolve().parent / "output"
@@ -172,8 +175,15 @@ def _load_subject_data(cfg: CBPAConfig, subject_ind: int):
     return spectrogram, freqs, timestamps, log_df
 
 
-def _get_trial_spans(log_df: pd.DataFrame) -> dict:
-    return data_integration.get_all_task_start_ends(log_df, "dict")
+def _get_trial_spans(log_df: pd.DataFrame,
+                     cfg: "CBPAConfig | None" = None) -> dict:
+    kwargs = {}
+    if cfg is not None:
+        kwargs = dict(
+            assumed_latency_sec=cfg.task_latency_assumption_sec,
+            cut_off_sec_to_prevent_transients=cfg.task_end_cutoff_sec)
+    return data_integration.get_all_task_start_ends(log_df, "dict",
+                                                    **kwargs)
 
 
 def _common_time_grid_from_spans(cfg: CBPAConfig, trial_spans: dict,
@@ -376,7 +386,7 @@ def build_contrast_array(cfg: CBPAConfig):
             warnings.warn(str(exc) + " Skipping.")
             continue
         trial_spans = {int(k): v
-                       for k, v in _get_trial_spans(log_df).items()}
+                       for k, v in _get_trial_spans(log_df, cfg).items()}
         if time_grid is None:
             time_grid = _common_time_grid_from_spans(
                 cfg, trial_spans, overlap_ratio=cfg.overlap_ratio)

@@ -26,7 +26,8 @@ def run_mediation_analysis(feature_data_dir: Path,
                            output_dir: Path,
                            n_bootstrap: int = 2000,
                            n_segments: int = 1,
-                           hypotheses=None) -> pd.DataFrame:
+                           hypotheses=None,
+                           fit_kwargs: dict | None = None) -> pd.DataFrame:
     """All (mediator × contrast × outcome) configurations + bootstrap."""
     output_dir = Path(output_dir)
     filemgmt.assert_dir(output_dir)
@@ -40,7 +41,8 @@ def run_mediation_analysis(feature_data_dir: Path,
         for contrast in hyp["x_contrasts"]:
             for outcome in hyp["y_vars"]:
                 fit = fit_mediation_model(
-                    data, hyp["x_var"], contrast, hyp["m_var"], outcome)
+                    data, hyp["x_var"], contrast, hyp["m_var"], outcome,
+                    **(fit_kwargs or {}))
                 boot = bootstrap_indirect_effect(
                     fit, n_bootstrap=n_bootstrap)
                 rows.append({**{k: v for k, v in fit.items()

@@ -55,7 +55,10 @@ def fetch_level_definitions(multi_segments_per_trial: bool) -> list[dict]:
 def run_rqb_omnibus(feature_data_dir: Path,
                     statistics_output_dir: Path,
                     n_within_trial_segments_list=(1, 2, 5, 10),
+                    level_definitions_factory=None,
                     verbose: bool = False) -> pd.DataFrame:
+    level_definitions_factory = (level_definitions_factory
+                                 or fetch_level_definitions)
     statistics_output_dir = Path(statistics_output_dir)
     filemgmt.assert_dir(statistics_output_dir)
     all_frames, all_diag = [], []
@@ -67,7 +70,7 @@ def run_rqb_omnibus(feature_data_dir: Path,
         results: list = []
         diagnostics: list = []
         statistics.run_model_levels(
-            base_df, fetch_level_definitions(n_segments > 1),
+            base_df, level_definitions_factory(n_segments > 1),
             response_var=RQB_RESPONSE_VAR,
             hypothesis_name="RQ-B: neural features -> accuracy",
             n_windows_per_trial=n_segments, all_results_list=results,

@@ -187,3 +187,79 @@ class TestFullStudy:
         text = report_path.read_text()
         assert "H1: Flexor Beta Peak CMC" in text
         assert "Category or Silence: Happy" in text
+
+    def test_descriptive_statistics_workflow(self, study):
+        from mba_tpu.workflows.descriptive_statistics_workflow import (
+            run_descriptives)
+        out = study["out_dir"] / "descriptives"
+        res = run_descriptives(
+            study["exp_data"], study["feat_data"], out,
+            subject_ids=range(N_SUBJECTS),
+            dep_vars=["CMC_Flexor_max_beta", "RMS_Accuracy",
+                      "Median_Heart_Rate"])
+        assert len(res["demographics"]) == N_SUBJECTS
+        assert not res["summary"].empty
+        assert list(out.glob("*Descriptive DV Summary*.csv"))
+        assert list(out.glob("*Cohort Descriptives*.png"))
+
+    def test_rqb_omnibus(self, study):
+        from mba_tpu.workflows.statistics_RQ_B_omnibus_testing_workflow \
+            import run_rqb_omnibus
+        out = study["out_dir"] / "rq_b"
+
+        # toy-sized level set (9 rows can't support the full 7-predictor
+        # production levels)
+        def levels(multi):
+            return [{'df_filter': None, 'condition_vars': {},
+                     'explanatory_vars': ["CMC_Flexor_max_beta"],
+                     'moderation_pairs': None}]
+        combined = run_rqb_omnibus(study["feat_data"], out,
+                                   n_within_trial_segments_list=[1],
+                                   level_definitions_factory=levels)
+        assert not combined.empty
+        cmc = combined[combined["Parameter"].str.contains(
+            "CMC_Flexor_max_beta", na=False)]
+        assert len(cmc) >= 1          # the predictor was actually fit
+        assert list(out.glob("*All Time Resolutions Results*.csv"))
+
+    def test_mediation_workflow(self, study):
+        from mba_tpu.workflows.\
+            statistics_RQ_A_mediation_analysis_workflow import (
+                run_mediation_analysis)
+        out = study["out_dir"] / "mediation"
+        hyps = [{"x_var": "Category or Silence",
+                 "x_contrasts": [("Happy", "Silence")],
+                 "m_var": "Median_Heart_Rate",
+                 "y_vars": ["CMC_Flexor_max_beta"]}]
+        res = run_mediation_analysis(
+            study["feat_data"], None, out, n_bootstrap=25,
+            n_segments=1, hypotheses=hyps,
+            fit_kwargs={"min_obs": 6, "min_subjects": 3})
+        assert len(res) == 1
+        for col in ("indirect_effect", "ci_lower", "ci_upper",
+                    "mediation_type", "significant_fdr"):
+            assert col in res.columns, col
+        assert list(out.glob("*Mediation Analysis Raw Results*.csv"))
+
+    def test_post_hoc_cbpa_batch(self, study):
+        from mba_tpu.pipeline.cbpa import CBPAConfig, run_batch
+        from mba_tpu.workflows.\
+            statistics_RQ_A_post_hoc_testing_workflow import (
+                build_cbpa_configs)
+        # the production batch is 2 bands x 2 muscles x 4 contrasts
+        assert len(build_cbpa_configs(study["root"],
+                                      study["out_dir"])) == 16
+        out = study["out_dir"] / "cbpa"
+        cfg = CBPAConfig(
+            modality="CMC", modality_file_id="Flexor", freq_band="beta",
+            condition_column="Category or Silence",
+            condition_A="Happy", condition_B="Silence",
+            n_permutations=100, tail=1, use_phase_normalization=False,
+            data_root=study["root"], output_dir=out,
+            cmc_time_window_sec=0.5,
+            task_latency_assumption_sec=0.1, task_end_cutoff_sec=0.05,
+            hypothesis_label="toy_Happy_vs_Silence",
+            save_plots=False, show_plots=False)
+        run_batch([cfg])
+        assert list(out.glob("*CBPA Results*.npz")) or \
+            list(out.glob("*toy_Happy_vs_Silence*"))
