@@ -34,11 +34,12 @@ def preprocess_subject_modality(subject: int, modality_key: str,
         prepper = BiosignalPreprocessor.init_from_config(config_path,
                                                          data)
     else:
+        kwargs = dict(n_ica_components=(25 if modality == 'eeg'
+                                        else None))
+        kwargs.update(preprocessor_kwargs)      # caller wins
         prepper = BiosignalPreprocessor(
             np_input_data=data, sampling_freq=sampling_freq,
-            modality=modality,
-            n_ica_components=(25 if modality == 'eeg' else None),
-            **preprocessor_kwargs)
+            modality=modality, **kwargs)
     if manual_ics_to_exclude is not None:
         prepper.manual_ics_to_exclude = manual_ics_to_exclude
 
