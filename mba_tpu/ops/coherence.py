@@ -150,25 +150,43 @@ def _auto_chunk(window_samples: int, K: int, n_eeg: int, n_emg: int,
     return max(1, int(budget_bytes // max(per_win, 1)))
 
 
+def _pallas_available() -> bool:
+    """Use the fused Pallas epilogue on real TPU backends only (the CPU
+    backend has no Mosaic lowering; tests exercise it via interpret)."""
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except RuntimeError:        # pragma: no cover - no backend at all
+        return False
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("window_samples", "inner_chunk", "use_jackknife",
-                     "aggregate_emg_max"))
+                     "aggregate_emg_max", "use_pallas"))
 def _msc_all_windows(eeg, emg, starts_padded, tapers, inv_fs_n, t_crit,
                      window_samples, inner_chunk, use_jackknife,
-                     aggregate_emg_max):
+                     aggregate_emg_max, use_pallas=False):
     """Entire (masked) window grid in ONE device program.
 
     ``lax.map`` scans fixed-size window chunks so transient HBM stays
     bounded while the host sees a single dispatch and a single download —
     critical on tunneled TPUs where every host↔device copy pays tens of
     milliseconds of latency at ~25 MB/s.
+
+    With ``use_pallas`` (jackknife + EMG-max path on TPU) the post-FFT
+    epilogue runs as the fused VMEM-resident Pallas kernel
+    (pallas_msc.py) — ~2.4x faster per window than the XLA lowering,
+    which materializes the (K, F, E, M) leave-one-out cross-spectra in
+    HBM.
     """
     chunks = starts_padded.reshape((-1, inner_chunk))
 
     def chunk_fn(cs):
         ef = frame_signal(eeg, cs, window_samples)
         mf = frame_signal(emg, cs, window_samples)
+        if use_pallas:
+            from mba_tpu.ops.pallas_msc import msc_chunk_pallas
+            return msc_chunk_pallas(ef, mf, tapers, t_crit)
         return _msc_chunk_kernel(ef, mf, tapers, inv_fs_n, t_crit,
                                  use_jackknife, aggregate_emg_max)
 
@@ -273,7 +291,9 @@ def multitaper_msc(
         device_out = _msc_all_windows(
             eeg_j, emg_j, jnp.asarray(starts_padded, jnp.int32), tapers_j,
             inv_fs_n, t_crit, window_samples, chunk, use_jackknife,
-            aggregate_emg_max)
+            aggregate_emg_max,
+            use_pallas=(use_jackknife and aggregate_emg_max
+                        and _pallas_available()))
         # single host download per output array
         compact = {key: np.asarray(val)[:n_active]
                    for key, val in device_out.items()}

@@ -176,3 +176,70 @@ class TestMultitaperMsc:
             res["coherence_raw"] > it02)
         assert it == pytest.approx(
             cmc_independence_threshold(res["metadata"]["K_tapers"], 0.2))
+
+
+class TestPallasEpilogue:
+    """The fused Pallas MSC epilogue must match the XLA kernel exactly
+    (run in interpreter mode — the CPU backend has no Mosaic)."""
+
+    def test_matches_xla_kernel(self):
+        import jax.numpy as jnp
+        from scipy.stats import t as t_dist
+        from mba_tpu.ops import coherence as C
+        from mba_tpu.ops.dpss import filtered_tapers
+        from mba_tpu.ops.pallas_msc import msc_chunk_pallas
+
+        fs, ws = 256.0, 256
+        rng = np.random.default_rng(0)
+        shared = rng.standard_normal(ws * 3)
+        eegf = np.stack([(0.5 * shared[i * ws // 2:
+                                       i * ws // 2 + ws, None]
+                          + rng.standard_normal((ws, 8))
+                          ).astype(np.float32) for i in range(2)])
+        emgf = np.stack([(0.5 * shared[i * ws // 2:
+                                       i * ws // 2 + ws, None]
+                          + rng.standard_normal((ws, 4))
+                          ).astype(np.float32) for i in range(2)])
+        tapers = np.asarray(filtered_tapers(ws, 3, 0.9), np.float32)
+        K = tapers.shape[0]
+        t_crit = np.float32(t_dist.ppf(0.975, K - 1))
+        inv = np.float32(1.0 / (fs * ws))
+
+        ref = C._msc_chunk_kernel(
+            jnp.asarray(eegf), jnp.asarray(emgf), jnp.asarray(tapers),
+            inv, t_crit, use_jackknife=True, aggregate_emg_max=True)
+        out = msc_chunk_pallas(jnp.asarray(eegf), jnp.asarray(emgf),
+                               jnp.asarray(tapers), t_crit,
+                               interpret=True)
+        for key in ("coherence", "ci_lower", "ci_upper"):
+            np.testing.assert_allclose(np.asarray(out[key]),
+                                       np.asarray(ref[key]),
+                                       atol=5e-5, err_msg=key)
+
+    def test_nonaligned_freq_padding(self):
+        # F = 65 (ws=128) is not a FREQ_BLOCK multiple: the padded tail
+        # must be sliced off and real bins unaffected
+        import jax.numpy as jnp
+        from scipy.stats import t as t_dist
+        from mba_tpu.ops import coherence as C
+        from mba_tpu.ops.dpss import filtered_tapers
+        from mba_tpu.ops.pallas_msc import msc_chunk_pallas, FREQ_BLOCK
+
+        ws = 128
+        assert (ws // 2 + 1) % FREQ_BLOCK != 0
+        rng = np.random.default_rng(1)
+        eegf = rng.standard_normal((1, ws, 4)).astype(np.float32)
+        emgf = rng.standard_normal((1, ws, 3)).astype(np.float32)
+        tapers = np.asarray(filtered_tapers(ws, 2, 0.9), np.float32)
+        t_crit = np.float32(t_dist.ppf(0.975, tapers.shape[0] - 1))
+        inv = np.float32(1.0 / (256.0 * ws))
+        ref = C._msc_chunk_kernel(
+            jnp.asarray(eegf), jnp.asarray(emgf), jnp.asarray(tapers),
+            inv, t_crit, use_jackknife=True, aggregate_emg_max=True)
+        out = msc_chunk_pallas(jnp.asarray(eegf), jnp.asarray(emgf),
+                               jnp.asarray(tapers), t_crit,
+                               interpret=True)
+        assert out["coherence"].shape == (1, ws // 2 + 1, 4)
+        np.testing.assert_allclose(np.asarray(out["coherence"]),
+                                   np.asarray(ref["coherence"]),
+                                   atol=5e-5)
