@@ -163,3 +163,38 @@ class TestOtb4:
     def test_missing_file(self):
         with pytest.raises(FileNotFoundError):
             read_otb4("/nonexistent.otb4")
+
+
+class TestProfiling:
+    def test_stage_timer_and_save(self, tmp_path):
+        import json as _json
+        import time as _time
+        from mba_tpu.utils.profiling import StageTimer
+        timer = StageTimer("unit")
+        with timer.stage("a"):
+            _time.sleep(0.01)
+        with timer.stage("b"):
+            _time.sleep(0.02)
+
+        @timer.timed("c")
+        def work():
+            return sum(range(100))
+        assert work() == 4950
+        assert [lb for lb, _ in timer.stages] == ["a", "b", "c"]
+        assert timer.stages[1][1] >= 0.015
+        text = timer.report(printer=None)
+        assert "TOTAL" in text and "b" in text
+        path = timer.save(tmp_path)
+        payload = _json.loads(path.read_text())
+        assert payload["total_seconds"] == timer.total
+
+    def test_device_trace_noop_and_real(self, tmp_path):
+        import jax.numpy as jnp
+        from mba_tpu.utils.profiling import device_trace, annotate
+        with device_trace(tmp_path, enabled=False):
+            pass                                  # no-op path
+        with device_trace(tmp_path / "t"):
+            with annotate("matmul"):
+                x = jnp.ones((32, 32))
+                (x @ x).block_until_ready()
+        assert any((tmp_path / "t").rglob("*"))   # trace files exist
