@@ -319,3 +319,27 @@ class TestSurrogationParity:
             for c in cols:
                 scale = np.ptp(out[:, c]) / np.ptp(x[:, c])
                 assert 10.0 <= scale <= 15.0
+
+
+class TestChannelLayoutParity:
+    def test_constants_match(self, ref):
+        from src.pipeline import channel_layout as ref_layout
+        from mba_tpu import channel_layout as mine_layout
+        assert list(mine_layout.EEG_CHANNELS) == \
+            list(ref_layout.EEG_CHANNELS)
+        assert list(mine_layout.EMG_CHANNELS) == \
+            list(ref_layout.EMG_CHANNELS)
+        assert mine_layout.EEG_CHANNEL_IND_DICT == \
+            ref_layout.EEG_CHANNEL_IND_DICT
+        for area, chans in ref_layout.EEG_CHANNELS_BY_AREA.items():
+            assert area in mine_layout.EEG_CHANNELS_BY_AREA
+            assert list(mine_layout.EEG_CHANNELS_BY_AREA[area]) == \
+                list(chans), area
+
+    def test_dynamometer_curve_matches(self, ref):
+        # the acquisition-side calibration map (reference
+        # measurements_and_interactive_visuals.py:213-219)
+        from mba_tpu.acquisition.sampling import dynamometer_volt_to_force
+        for v in (0.5, 1.0, 1.5, 2.0, 2.5):
+            assert dynamometer_volt_to_force(v) == \
+                pytest.approx(2.2 * v ** 4.1071, rel=1e-9)
