@@ -186,7 +186,8 @@ def _msc_all_windows(eeg, emg, starts_padded, tapers, inv_fs_n, t_crit,
         mf = frame_signal(emg, cs, window_samples)
         if use_pallas:
             from mba_tpu.ops.pallas_msc import msc_chunk_pallas
-            return msc_chunk_pallas(ef, mf, tapers, t_crit)
+            return msc_chunk_pallas(ef, mf, tapers, t_crit,
+                                    emg_max=aggregate_emg_max)
         return _msc_chunk_kernel(ef, mf, tapers, inv_fs_n, t_crit,
                                  use_jackknife, aggregate_emg_max)
 
@@ -292,6 +293,9 @@ def multitaper_msc(
             eeg_j, emg_j, jnp.asarray(starts_padded, jnp.int32), tapers_j,
             inv_fs_n, t_crit, window_samples, chunk, use_jackknife,
             aggregate_emg_max,
+            # pallas wins only on the max-pool path (2.3x): with full
+            # (F,E,M) outputs the HBM writes dominate either way and the
+            # XLA lowering is ~1.4x faster (measured on v5e)
             use_pallas=(use_jackknife and aggregate_emg_max
                         and _pallas_available()))
         # single host download per output array

@@ -38,11 +38,13 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _msc_block_kernel(t_crit_ref, er_ref, ei_ref, mr_ref, mi_ref,
-                      coh_ref, lo_ref, hi_ref, K: int):
+                      coh_ref, lo_ref, hi_ref, K: int,
+                      emg_max: bool = True):
     """One (window, freq-block) grid step.
 
     er/ei: (1, K, FB, E) EEG rFFT real/imag; mr/mi: (1, K, FB, M).
-    Outputs (1, FB, E): EMG-max coherence mean + aligned CI bounds.
+    Outputs: EMG-max (1, FB, E) coherence mean + aligned CI bounds when
+    ``emg_max``, else the full (1, FB, E, M) grids.
     """
     t_crit = t_crit_ref[0, 0]
 
@@ -106,6 +108,12 @@ def _msc_block_kernel(t_crit_ref, er_ref, ei_ref, mr_ref, mi_ref,
     ci_lower = jnp.minimum(tanh_lo * tanh_lo, coherence_mean)
     ci_upper = jnp.maximum(tanh_hi * tanh_hi, coherence_mean)
 
+    if not emg_max:
+        coh_ref[0] = coherence_mean
+        lo_ref[0] = ci_lower
+        hi_ref[0] = ci_upper
+        return
+
     # ---- CI-aligned EMG max-pool (argmax on the mean) ----
     m_ids = jax.lax.broadcasted_iota(jnp.int32, coherence_mean.shape, 2)
     max_idx = jnp.argmax(coherence_mean, axis=2)[:, :, None]  # (FB,E,1)
@@ -115,16 +123,17 @@ def _msc_block_kernel(t_crit_ref, er_ref, ei_ref, mr_ref, mi_ref,
     hi_ref[0] = jnp.max(jnp.where(sel, ci_upper, -1.0), axis=2)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "emg_max"))
 def msc_jackknife_maxpool_pallas(eeg_fft_re, eeg_fft_im,
                                  emg_fft_re, emg_fft_im,
-                                 t_crit, interpret: bool = False):
-    """Jackknifed MSC + EMG max-pool from tapered rFFT spectra.
+                                 t_crit, interpret: bool = False,
+                                 emg_max: bool = True):
+    """Jackknifed MSC from tapered rFFT spectra.
 
     eeg_fft_*: (W, K, F, E) float32; emg_fft_*: (W, K, F, M) float32.
-    Returns dict of (W, F, E) float32 arrays: coherence / ci_lower /
-    ci_upper — numerically equivalent to ``_msc_chunk_kernel`` with
-    ``use_jackknife=True, aggregate_emg_max=True``.
+    Returns dict of (W, F, E) float32 arrays (``emg_max``, CI-aligned
+    max-pool) or (W, F, E, M) full grids — numerically equivalent to
+    ``_msc_chunk_kernel`` with ``use_jackknife=True``.
     """
     W, K, F, E = eeg_fft_re.shape
     M = emg_fft_re.shape[-1]
@@ -139,13 +148,19 @@ def msc_jackknife_maxpool_pallas(eeg_fft_re, eeg_fft_im,
     spec_in = lambda C: pl.BlockSpec(
         (1, K, FREQ_BLOCK, C), lambda w, f: (w, 0, f, 0),
         memory_space=pltpu.VMEM)
-    spec_out = pl.BlockSpec((1, FREQ_BLOCK, E),
-                            lambda w, f: (w, f, 0),
-                            memory_space=pltpu.VMEM)
-    out_shape = jax.ShapeDtypeStruct((W, F_pad, E), jnp.float32)
+    if emg_max:
+        spec_out = pl.BlockSpec((1, FREQ_BLOCK, E),
+                                lambda w, f: (w, f, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((W, F_pad, E), jnp.float32)
+    else:
+        spec_out = pl.BlockSpec((1, FREQ_BLOCK, E, M),
+                                lambda w, f: (w, f, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((W, F_pad, E, M), jnp.float32)
 
     coh, lo, hi = pl.pallas_call(
-        functools.partial(_msc_block_kernel, K=K),
+        functools.partial(_msc_block_kernel, K=K, emg_max=emg_max),
         grid=(W, F_pad // FREQ_BLOCK),
         in_specs=[pl.BlockSpec((1, 1), lambda w, f: (0, 0),
                                memory_space=pltpu.SMEM),
@@ -163,9 +178,9 @@ def msc_jackknife_maxpool_pallas(eeg_fft_re, eeg_fft_im,
 
 
 def msc_chunk_pallas(eeg_frames, emg_frames, tapers, t_crit,
-                     interpret: bool = False):
-    """Drop-in for ``_msc_chunk_kernel(..., use_jackknife=True,
-    aggregate_emg_max=True)``: rFFT in XLA, epilogue in Pallas."""
+                     interpret: bool = False, emg_max: bool = True):
+    """Drop-in for ``_msc_chunk_kernel(..., use_jackknife=True)``:
+    rFFT in XLA, epilogue in Pallas."""
     eeg_fft = jnp.fft.rfft(
         eeg_frames[:, None, :, :] * tapers[None, :, :, None], axis=2)
     emg_fft = jnp.fft.rfft(
@@ -174,4 +189,5 @@ def msc_chunk_pallas(eeg_frames, emg_frames, tapers, t_crit,
         eeg_fft.real.astype(jnp.float32),
         eeg_fft.imag.astype(jnp.float32),
         emg_fft.real.astype(jnp.float32),
-        emg_fft.imag.astype(jnp.float32), t_crit, interpret=interpret)
+        emg_fft.imag.astype(jnp.float32), t_crit, interpret=interpret,
+        emg_max=emg_max)

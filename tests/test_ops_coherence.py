@@ -243,3 +243,29 @@ class TestPallasEpilogue:
         np.testing.assert_allclose(np.asarray(out["coherence"]),
                                    np.asarray(ref["coherence"]),
                                    atol=5e-5)
+
+    def test_full_grid_mode_matches_xla(self):
+        import jax.numpy as jnp
+        from scipy.stats import t as t_dist
+        from mba_tpu.ops import coherence as C
+        from mba_tpu.ops.dpss import filtered_tapers
+        from mba_tpu.ops.pallas_msc import msc_chunk_pallas
+
+        ws = 256
+        rng = np.random.default_rng(2)
+        eegf = rng.standard_normal((2, ws, 6)).astype(np.float32)
+        emgf = rng.standard_normal((2, ws, 3)).astype(np.float32)
+        tapers = np.asarray(filtered_tapers(ws, 3, 0.9), np.float32)
+        t_crit = np.float32(t_dist.ppf(0.975, tapers.shape[0] - 1))
+        inv = np.float32(1.0 / (256.0 * ws))
+        ref = C._msc_chunk_kernel(
+            jnp.asarray(eegf), jnp.asarray(emgf), jnp.asarray(tapers),
+            inv, t_crit, use_jackknife=True, aggregate_emg_max=False)
+        out = msc_chunk_pallas(jnp.asarray(eegf), jnp.asarray(emgf),
+                               jnp.asarray(tapers), t_crit,
+                               interpret=True, emg_max=False)
+        assert out["coherence"].shape == (2, ws // 2 + 1, 6, 3)
+        for key in ("coherence", "ci_lower", "ci_upper"):
+            np.testing.assert_allclose(np.asarray(out[key]),
+                                       np.asarray(ref[key]),
+                                       atol=5e-5, err_msg=key)
