@@ -977,3 +977,239 @@ def add_significance_markers(df: pd.DataFrame,
     for col in [c for c in df.columns if c.startswith(p_col_prefix)]:
         df[f"{col}_sig"] = df[col].apply(stars)
     return df
+
+
+# ═══════════════════════════════════════════════════════════════════════
+#  summary tables & printers (reference statistical_modelling.py:1379-1783)
+# ═══════════════════════════════════════════════════════════════════════
+def _star(p) -> str:
+    if pd.isna(p):
+        return "ns"
+    return ("***" if p < 0.001 else "**" if p < 0.01
+            else "*" if p < 0.05 else "ns")
+
+
+def _strip_sentinels(df: pd.DataFrame) -> pd.DataFrame:
+    return df[~df["Parameter"].astype(str).str.startswith("__")]
+
+
+def load_recent_results_frame(frame_dir) -> pd.DataFrame:
+    """Newest 'All Time Resolutions Results' CSV (reference :1924-1927)."""
+    return pd.read_csv(file_mgmt_most_recent(
+        frame_dir, ["All Time Resolutions Results"]))
+
+
+def load_recent_diagnostics_frame(frame_dir) -> pd.DataFrame:
+    """Newest 'All Time Resolutions Diagnostics' CSV (ref :1929-1932)."""
+    return pd.read_csv(file_mgmt_most_recent(
+        frame_dir, ["All Time Resolutions Diagnostics"]))
+
+
+def file_mgmt_most_recent(frame_dir, keywords):
+    from mba_tpu.utils.file_management import most_recent_file
+    return most_recent_file(Path(frame_dir), ".csv", keywords)
+
+
+def create_summary_table(results_df: pd.DataFrame,
+                         filter_conditions: dict,
+                         index_cols: list,
+                         value_cols: list | None = None,
+                         output_file: str | None = None,
+                         output_dir=None,
+                         table_name: str = "Summary Table",
+                         verbose: bool = True) -> pd.DataFrame:
+    """Filtered pivot of the results frame, one column group per
+    Model_Type, with significance stars (reference :1409-1496).
+
+    filter_conditions values: str (exact), callable (predicate), or
+    list/tuple (isin).
+    """
+    filtered = results_df.copy()
+    for col, condition in filter_conditions.items():
+        if isinstance(condition, str):
+            filtered = filtered[filtered[col] == condition]
+        elif callable(condition):
+            try:
+                filtered = filtered[filtered[col].apply(condition)]
+            except Exception as exc:
+                print(f"  [summary] filter error on {col!r}: {exc}")
+        elif isinstance(condition, (list, tuple)):
+            filtered = filtered[filtered[col].isin(condition)]
+    if filtered.empty:
+        if verbose:
+            print(f"  [summary] no data for {table_name} "
+                  f"(filters: {filter_conditions})")
+        return pd.DataFrame()
+
+    value_cols = value_cols or ["Coefficient", "p_value"]
+    summary = filtered.pivot_table(index=index_cols,
+                                   columns="Model_Type",
+                                   values=value_cols, aggfunc="first")
+    summary.columns = ["_".join(map(str, c)).strip()
+                       for c in summary.columns.values]
+    summary = summary.reset_index()
+    for col in [c for c in summary.columns if c.startswith("p_value")]:
+        summary[col.replace("p_value", "Sig")] = \
+            summary[col].apply(_star)
+
+    if verbose:
+        print(f"\n{'=' * 100}\n{table_name.upper()}\n{'=' * 100}")
+        print(summary.to_string(index=False))
+    if output_file and output_dir is not None:
+        path = Path(output_dir) / output_file
+        summary.to_csv(path, index=False)
+        if verbose:
+            print(f"Saved -> {path}")
+    return summary
+
+
+def display_summary_statistics(results_df: pd.DataFrame,
+                               printer=print) -> dict:
+    """Significance-rate breakdown overall / by model / by level
+    (reference :1498-1541).  Returns the counted figures."""
+    df = _strip_sentinels(results_df)
+    total = max(len(df), 1)
+    counts = {thr: int((pd.to_numeric(df["p_value"], errors="coerce")
+                        < thr).sum()) for thr in (0.001, 0.01, 0.05)}
+    printer(f"\n{'=' * 100}\nSUMMARY STATISTICS\n{'=' * 100}")
+    printer(f"Total effects tested:           {len(df)}")
+    for thr, stars in ((0.001, '***'), (0.01, '**'), (0.05, '*')):
+        printer(f"Significant at p < {thr} ({stars}): {counts[thr]} "
+                f"({100 * counts[thr] / total:.1f}%)")
+    by_model, by_level = {}, {}
+    for model in df.get("Model_Type", pd.Series(dtype=str)).unique():
+        sub = df[df["Model_Type"] == model]
+        n_sig = int((pd.to_numeric(sub["p_value"],
+                                   errors="coerce") < 0.05).sum())
+        by_model[model] = (len(sub), n_sig)
+        printer(f"  {model}: {len(sub)} effects, {n_sig} significant")
+    for level in df.get("Comparison_Level",
+                        pd.Series(dtype=str)).unique():
+        sub = df[df["Comparison_Level"] == level]
+        n_sig = int((pd.to_numeric(sub["p_value"],
+                                   errors="coerce") < 0.05).sum())
+        by_level[level] = (len(sub), n_sig)
+        printer(f"  {level}: {len(sub)} effects, {n_sig} significant")
+    return {"total": len(df), "counts": counts, "by_model": by_model,
+            "by_level": by_level}
+
+
+def display_significant_effects(results_df: pd.DataFrame,
+                                significance_level: float = 0.05,
+                                exclude_intercepts: bool = True,
+                                printer=print) -> pd.DataFrame:
+    """All significant effects sorted by p (reference :1543-1584)."""
+    df = _strip_sentinels(results_df)
+    sig = df[pd.to_numeric(df["p_value"], errors="coerce")
+             < significance_level].copy()
+    if exclude_intercepts:
+        sig = sig[~sig["Parameter"].astype(str).str.contains(
+            "Intercept", case=False, na=False)]
+    if sig.empty:
+        printer(f"No significant effects at p < {significance_level}")
+        return sig
+    sig = sig.sort_values("p_value")
+    printer(f"\nALL SIGNIFICANT EFFECTS (p < {significance_level}"
+            f"{', excluding intercepts' if exclude_intercepts else ''})"
+            f": {len(sig)}")
+    for _, row in sig.iterrows():
+        printer(f"{str(row['Parameter']):<45s} | "
+                f"{str(row.get('Model_Type', '')):<5s} | "
+                f"beta={row['Coefficient']:>8.4f} | "
+                f"p={row['p_value']:>8.4f} {_star(row['p_value'])}")
+    return sig
+
+
+def display_model_diagnostics(diagnostics_df: pd.DataFrame,
+                              output_dir=None, printer=print) -> None:
+    """Rounded diagnostics tables per model type with the legend
+    (reference :1586-1693)."""
+    if diagnostics_df is None or len(diagnostics_df) == 0:
+        printer("No diagnostics data available")
+        return
+    disp = diagnostics_df.copy()
+    for col in ("Shapiro_p", "Lag1_Autocorr", "Design_Effect",
+                "SE_Inflation", "R_squared", "R_squared_adj",
+                "R_squared_marginal", "R_squared_conditional",
+                "AIC", "BIC", "LogLik"):
+        if col in disp.columns:
+            disp[col] = disp[col].apply(
+                lambda x: f"{x:.4f}" if pd.notna(x) else "-")
+    printer("[LEGEND] Shapiro_Violated=Yes: non-normal residuals | "
+            "Lag1_Autocorr>0.3 moderate, >0.5 high | "
+            "SE_Inflation>1.5 substantial | lower AIC/BIC better")
+    for model_type in ("OLS", "LME"):
+        sub = disp[disp.get("Model_Type") == model_type] \
+            if "Model_Type" in disp.columns else pd.DataFrame()
+        if len(sub):
+            printer(f"\n{model_type} MODELS ({len(sub)})")
+            printer(sub.to_string(index=False))
+    if output_dir is not None:
+        from mba_tpu.utils.file_management import file_title, assert_dir
+        assert_dir(output_dir)
+        diagnostics_df.to_csv(Path(output_dir) / file_title(
+            "summary_model_diagnostics", ".csv"), index=False)
+
+
+def generate_all_summary_tables(results_df: pd.DataFrame,
+                                output_dir,
+                                diagnostics_df: pd.DataFrame = None,
+                                file_identifier: str = "",
+                                generate_per_level_tables: bool = False,
+                                generate_thematic_tables: bool = False,
+                                verbose: bool = True) -> dict:
+    """Master + per-level + thematic + significant-effects tables
+    (reference :1695-1783).  Returns the written frames by name."""
+    from mba_tpu.utils.file_management import file_title, assert_dir
+    output_dir = Path(output_dir)
+    assert_dir(output_dir)
+    suffix = f"_{file_identifier}" if file_identifier else ""
+
+    df = _strip_sentinels(results_df).copy()
+    for p_col, sig_col in (("p_value_unadjusted",
+                            "Significance_unadjusted"),
+                           ("p_value_adjusted",
+                            "Significance_adjusted")):
+        if p_col in df.columns:
+            df[sig_col] = df[p_col].apply(_star)
+    if "Significance_adjusted" in df.columns:
+        df["Significance"] = df["Significance_adjusted"]
+    written = {}
+
+    def save(frame, stem, label):
+        if frame.empty:
+            return
+        path = output_dir / file_title(f"{stem}{suffix}", ".csv")
+        frame.to_csv(path, index=False)
+        written[label] = frame
+        if verbose:
+            print(f"TABLE: {label} -> {path} ({len(frame)} rows)")
+
+    if generate_per_level_tables and "Comparison_Level" in df.columns:
+        for level in sorted(df["Comparison_Level"].astype(str)
+                            .unique()):
+            stem = ("summary_level"
+                    + level.lower().split("(")[0]
+                    .replace("level ", "").strip().replace(" ", ""))
+            save(df[df["Comparison_Level"] == level], stem, level)
+    if generate_thematic_tables:
+        params = df["Parameter"].astype(str)
+        no_icpt = ~params.str.contains("Intercept", case=False)
+        save(df[params.str.contains("Music", case=False) & no_icpt],
+             "summary_music_effects", "MUSIC EFFECTS")
+        save(df[params.str.contains("Force", case=False) & no_icpt],
+             "summary_force_effects", "FORCE EFFECTS")
+    if "Significance_adjusted" in df.columns:
+        save(df[df["Significance_adjusted"].isin(["*", "**", "***"])],
+             "summary_significant_effects", "SIGNIFICANT EFFECTS")
+    save(df, "summary_all_results_master", "MASTER TABLE")
+
+    if verbose:
+        display_summary_statistics(df)
+        display_significant_effects(df)
+    if diagnostics_df is not None and len(diagnostics_df):
+        display_model_diagnostics(diagnostics_df, output_dir,
+                                  printer=(print if verbose
+                                           else lambda *_: None))
+        written["DIAGNOSTICS"] = diagnostics_df
+    return written

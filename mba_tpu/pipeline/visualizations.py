@@ -155,6 +155,47 @@ def initialise_electrode_heatmap(data: np.ndarray,
     return fig, ax
 
 
+def plot_psd_avg_with_std(freq_psd_dict: dict,
+                          sampling_freq: float,
+                          figsize=(14, 7), linewidth: float = 2.5,
+                          std_factor: float = 0.1,
+                          std_alpha: float = 0.25,
+                          colors: list | None = None,
+                          title: str = "Frequency Bands - Power "
+                                       "Spectral Density Over Time",
+                          save_dir: str | Path | None = None,
+                          show: bool = False):
+    """Per-band channel-averaged PSD traces with shaded ±std·factor
+    regions (reference visualizations.py:1151-1233).
+
+    freq_psd_dict: {band name: (n_samples, n_channels) array}.
+    """
+    fig, ax = plt.subplots(figsize=figsize)
+    palette = colors or [f"C{i}" for i in range(10)]
+    for i, (band, values) in enumerate(freq_psd_dict.items()):
+        values = np.asarray(values)
+        if values.ndim == 1:
+            values = values[:, None]
+        t = np.arange(values.shape[0]) / sampling_freq
+        mean = np.nanmean(values, axis=1)
+        std = np.nanstd(values, axis=1) * std_factor
+        color = palette[i % len(palette)]
+        ax.plot(t, mean, lw=linewidth, color=color, label=band)
+        ax.fill_between(t, mean - std, mean + std, color=color,
+                        alpha=std_alpha)
+    ax.set_xlabel("Time [s]")
+    ax.set_ylabel("PSD")
+    ax.set_title(title)
+    ax.legend(fontsize=9)
+    if save_dir is not None:
+        smart_save_fig(save_dir, title, fig=fig)
+    if show:
+        plt.show()
+    else:
+        plt.close(fig)
+    return fig, ax
+
+
 def animate_electrode_heatmap(data: np.ndarray,
                               positions: dict | None = None,
                               add_head_shape: bool = True,

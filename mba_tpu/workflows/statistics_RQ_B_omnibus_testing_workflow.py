@@ -52,6 +52,46 @@ def fetch_level_definitions(multi_segments_per_trial: bool) -> list[dict]:
     ]
 
 
+_CMC_COLS = ["CMC_Flexor_max_beta", "CMC_Flexor_max_gamma",
+             "CMC_Flexor_mean_beta", "CMC_Flexor_mean_gamma",
+             "CMC_Extensor_max_beta", "CMC_Extensor_max_gamma",
+             "CMC_Extensor_mean_beta", "CMC_Extensor_mean_gamma"]
+_PSD_COLS = ["PSD_eeg_FC_CP_T_theta", "PSD_eeg_F_C_beta",
+             "PSD_eeg_P_PO_alpha", "PSD_eeg_Global_gamma",
+             "PSD_emg_1_flexor_Global_all",
+             "PSD_emg_2_extensor_Global_all"]
+
+
+def fetch_accuracy_level_definitions(multi_segments_per_trial: bool,
+                                     include_emg_psd: bool = True,
+                                     include_max_cmc: bool = True
+                                     ) -> list[dict]:
+    """RQ-B level definitions with collinearity controls (reference
+    statistics_RQ_B_omnibus_testing_workflow.py:38-97): Level 0 = CMC
+    only, Level 1 = CMC + (E)EG PSD; EMG-PSD and max-CMC columns can be
+    dropped when collinear with force / mean CMC."""
+    temporal = (["Trial ID", "Segment ID"] if multi_segments_per_trial
+                else ["Trial ID"])
+    force = (["Median Scaled Force [0-1]",
+              "Median Unscaled Force [% MVC]"]
+             if multi_segments_per_trial
+             else ["Median Unscaled Force [% MVC]"])
+    base = ["Task Frequency"] + temporal + force
+    psd_cols = (_PSD_COLS if include_emg_psd
+                else [c for c in _PSD_COLS if "emg" not in c])
+    cmc_cols = (_CMC_COLS if include_max_cmc
+                else [c for c in _CMC_COLS if "max" not in c])
+    return [
+        {'df_filter': None, 'condition_vars': {},
+         'reference_categories': {},
+         'explanatory_vars': base + cmc_cols, 'moderation_pairs': []},
+        {'df_filter': None, 'condition_vars': {},
+         'reference_categories': {},
+         'explanatory_vars': base + cmc_cols + psd_cols,
+         'moderation_pairs': []},
+    ]
+
+
 def run_rqb_omnibus(feature_data_dir: Path,
                     statistics_output_dir: Path,
                     n_within_trial_segments_list=(1, 2, 5, 10),

@@ -118,3 +118,150 @@ if __name__ == "__main__":
     sweep = cohort_sampling_rate_sweep(range(12), paths.experiment_data,
                                        paths.feature_data)
     print(sweep.to_string(index=False))
+
+
+def analyze_task_alignment(emg_power: np.ndarray,
+                           psd_times: pd.DatetimeIndex,
+                           force_series: pd.Series,
+                           task_start: pd.Timestamp,
+                           task_end: pd.Timestamp,
+                           task_name: str,
+                           min_peak_distance: float = 2.0,
+                           max_matching_delay: float = 5.0) -> dict:
+    """EMG-power vs force alignment for one task (reference
+    time_alignment_validation_workflow.py:455-586): peak matching within
+    a delay window + windowed normalized cross-correlation.
+
+    Returns match counts/rates, matched-peak lag stats and the optimal
+    cross-correlation lag — the per-task drill-down behind
+    :func:`validate_muscle_identity`.
+    """
+    from scipy import signal as sps
+
+    psd_mask = (psd_times >= task_start) & (psd_times <= task_end)
+    emg_task = np.asarray(emg_power)[psd_mask]
+    times_task = psd_times[psd_mask]
+    force_task = force_series[(force_series.index >= task_start)
+                              & (force_series.index <= task_end)]
+    if len(emg_task) < 10 or len(force_task) < 10:
+        return {"task_name": task_name,
+                "duration_sec": (task_end
+                                 - task_start).total_seconds(),
+                "n_emg_samples": int(len(emg_task)),
+                "n_force_samples": int(len(force_task)),
+                "error": "Insufficient data"}
+
+    dt = np.median((times_task[1:] - times_task[:-1]).total_seconds())
+    fs_psd = 1.0 / dt
+    dist = max(int(min_peak_distance * fs_psd), 1)
+
+    emg_peaks, _ = sps.find_peaks(
+        emg_task, distance=dist,
+        prominence=np.percentile(emg_task, 80) - np.median(emg_task))
+    t_sec = (times_task - times_task[0]).total_seconds().to_numpy()
+    f_sec = (force_task.index - times_task[0]).total_seconds() \
+        .to_numpy()
+    force_resampled = np.interp(t_sec, f_sec,
+                                force_task.to_numpy(float))
+    force_peaks, _ = sps.find_peaks(
+        force_resampled, distance=dist,
+        prominence=np.percentile(force_resampled, 75)
+        - np.median(force_resampled))
+
+    lags = []
+    for pe in t_sec[emg_peaks]:
+        delays = t_sec[force_peaks] - pe
+        ok = np.abs(delays) <= max_matching_delay
+        if ok.any():
+            lags.append(delays[ok][np.argmin(np.abs(delays[ok]))])
+
+    emg_n = (emg_task - emg_task.mean()) / (emg_task.std() + 1e-10)
+    frc_n = (force_resampled - force_resampled.mean()) \
+        / (force_resampled.std() + 1e-10)
+    corr = sps.correlate(frc_n, emg_n, mode="same") / len(emg_task)
+    center = len(corr) // 2
+    max_lag = int(10.0 * fs_psd)
+    lo = max(center - max_lag, 0)
+    hi = min(center + max_lag + 1, len(corr))
+    window = corr[lo:hi]
+    lag_axis = (np.arange(lo, hi) - center) / fs_psd
+    best = int(np.argmax(window))
+
+    return {"task_name": task_name,
+            "duration_sec": (task_end - task_start).total_seconds(),
+            "n_emg_peaks": int(len(emg_peaks)),
+            "n_force_peaks": int(len(force_peaks)),
+            "n_matched_peaks": int(len(lags)),
+            "match_rate": len(lags) / max(len(emg_peaks), 1),
+            "mean_lag_sec": float(np.mean(lags)) if lags else np.nan,
+            "median_lag_sec": float(np.median(lags)) if lags
+            else np.nan,
+            "std_lag_sec": float(np.std(lags)) if lags else np.nan,
+            "cross_corr_optimal_lag_sec": float(lag_axis[best]),
+            "cross_corr_max": float(window[best]),
+            "error": None}
+
+
+def create_multi_task_comparison_plot(task_results: list[dict],
+                                      save_dir=None, show: bool = False):
+    """Per-task alignment dashboard (reference :~900-1000): matched-peak
+    lags + cross-correlation optima across tasks."""
+    import matplotlib.pyplot as plt
+
+    valid = [r for r in task_results if not r.get("error")]
+    fig, axes = plt.subplots(1, 2, figsize=(12, 4))
+    names = [r["task_name"] for r in valid]
+    axes[0].bar(names, [r["median_lag_sec"] for r in valid],
+                yerr=[r["std_lag_sec"] for r in valid], capsize=3)
+    axes[0].axhline(0, color="k", lw=0.8)
+    axes[0].set_ylabel("median matched-peak lag [s]")
+    axes[0].set_title("EMG-force peak alignment per task")
+    axes[1].scatter([r["cross_corr_optimal_lag_sec"] for r in valid],
+                    [r["cross_corr_max"] for r in valid])
+    for r in valid:
+        axes[1].annotate(r["task_name"],
+                         (r["cross_corr_optimal_lag_sec"],
+                          r["cross_corr_max"]), fontsize=7)
+    axes[1].set_xlabel("optimal lag [s]")
+    axes[1].set_ylabel("max cross-correlation")
+    for ax in axes:
+        ax.tick_params(axis="x", rotation=45, labelsize=7)
+    fig.tight_layout()
+    if save_dir is not None:
+        from mba_tpu.pipeline.visualizations import smart_save_fig
+        smart_save_fig(save_dir, "Task Alignment Comparison", fig=fig)
+    if show:                       # pragma: no cover - needs a display
+        plt.show()
+    else:
+        plt.close(fig)
+    return fig
+
+
+def create_power_comparison_plot(flexor_power: np.ndarray,
+                                 extensor_power: np.ndarray,
+                                 psd_times, force_series: pd.Series,
+                                 save_dir=None, show: bool = False):
+    """Flexor vs extensor band power over force (reference :~1000-1100):
+    visual check that the flexor envelope tracks grip force."""
+    import matplotlib.pyplot as plt
+
+    fig, ax1 = plt.subplots(figsize=(12, 4))
+    ax1.plot(psd_times, flexor_power, lw=0.8, label="flexor power")
+    ax1.plot(psd_times, extensor_power, lw=0.8, label="extensor power")
+    ax1.set_ylabel("EMG band power")
+    ax2 = ax1.twinx()
+    ax2.plot(force_series.index, force_series.values, lw=0.8,
+             color="tab:green", alpha=0.6, label="force")
+    ax2.set_ylabel("force [V]")
+    lines1, labels1 = ax1.get_legend_handles_labels()
+    lines2, labels2 = ax2.get_legend_handles_labels()
+    ax1.legend(lines1 + lines2, labels1 + labels2, fontsize=8)
+    ax1.set_title("EMG power vs force")
+    if save_dir is not None:
+        from mba_tpu.pipeline.visualizations import smart_save_fig
+        smart_save_fig(save_dir, "Power Comparison", fig=fig)
+    if show:                       # pragma: no cover - needs a display
+        plt.show()
+    else:
+        plt.close(fig)
+    return fig

@@ -206,3 +206,90 @@ class TestMarkers:
         df = pd.DataFrame({"p_value": [0.0001, 0.005, 0.03, 0.5, np.nan]})
         out = sm.add_significance_markers(df)
         assert list(out["p_value_sig"]) == ["***", "**", "*", "", ""]
+
+
+class TestSummaryTables:
+    @pytest.fixture
+    def results_frame(self):
+        return pd.DataFrame({
+            "Hypothesis": ["H1"] * 6 + ["H2"] * 2,
+            "Comparison_Level": ["Level 0 (music vs silence)"] * 4
+            + ["Level 1 (categories)"] * 4,
+            "Model_Type": ["OLS", "LME"] * 4,
+            "Parameter": ["Intercept", "Intercept",
+                          "Music Listening[T.True]",
+                          "Music Listening[T.True]",
+                          "__residual_std__", "__re_std__",
+                          "Force", "Force"],
+            "Coefficient": [1.0, 1.1, 0.3, 0.35, 0.5, 0.2, -0.1, -0.12],
+            "p_value": [0.5, 0.4, 0.004, 0.02, np.nan, np.nan,
+                        0.2, 0.03],
+            "p_value_adjusted": [0.6, 0.5, 0.009, 0.04, np.nan,
+                                 np.nan, 0.3, 0.06],
+        })
+
+    def test_create_summary_table_pivot_and_stars(self, results_frame,
+                                                  tmp_path):
+        table = sm.create_summary_table(
+            results_frame,
+            filter_conditions={
+                "Parameter": lambda p: "Intercept" not in p
+                and not p.startswith("__")},
+            index_cols=["Parameter"], output_file="t.csv",
+            output_dir=tmp_path, verbose=False)
+        assert set(table["Parameter"]) == {"Music Listening[T.True]",
+                                           "Force"}
+        assert "Coefficient_OLS" in table.columns
+        assert "Sig_LME" in table.columns
+        music = table[table["Parameter"] == "Music Listening[T.True]"]
+        assert music["Sig_OLS"].iloc[0] == "**"
+        assert (tmp_path / "t.csv").exists()
+
+    def test_display_summary_statistics_counts(self, results_frame):
+        out = sm.display_summary_statistics(
+            results_frame, printer=lambda *_: None)
+        assert out["total"] == 6            # sentinels stripped
+        assert out["counts"][0.05] == 3
+        assert out["by_model"]["LME"] == (3, 2)
+
+    def test_display_significant_effects_excludes_intercepts(
+            self, results_frame):
+        sig = sm.display_significant_effects(
+            results_frame, printer=lambda *_: None)
+        assert list(sig["p_value"]) == sorted(sig["p_value"])
+        assert not sig["Parameter"].str.contains("Intercept").any()
+        assert len(sig) == 3
+
+    def test_generate_all_summary_tables(self, results_frame, tmp_path):
+        diag = pd.DataFrame({
+            "Model_Type": ["OLS", "LME"],
+            "Shapiro_p": [0.3, 0.01], "AIC": [np.nan, 12.3]})
+        written = sm.generate_all_summary_tables(
+            results_frame, tmp_path, diagnostics_df=diag,
+            file_identifier="toy", generate_per_level_tables=True,
+            generate_thematic_tables=True, verbose=False)
+        assert "MASTER TABLE" in written
+        master = written["MASTER TABLE"]
+        assert not master["Parameter"].str.startswith("__").any()
+        assert "Significance" in master.columns
+        assert "MUSIC EFFECTS" in written
+        assert "FORCE EFFECTS" in written
+        assert "SIGNIFICANT EFFECTS" in written
+        sig = written["SIGNIFICANT EFFECTS"]
+        assert (sig["Significance_adjusted"]
+                .isin(["*", "**", "***"])).all()
+        assert list(tmp_path.glob("*summary_all_results_master_toy*"))
+        assert list(tmp_path.glob("*summary_level0*"))
+
+    def test_load_recent_frames(self, tmp_path):
+        from mba_tpu.utils.file_management import file_title
+        pd.DataFrame({"a": [1]}).to_csv(
+            tmp_path / file_title("All Time Resolutions Results",
+                                  ".csv"), index=False)
+        pd.DataFrame({"b": [2]}).to_csv(
+            tmp_path / file_title("All Time Resolutions Diagnostics",
+                                  ".csv"), index=False)
+        assert sm.load_recent_results_frame(
+            tmp_path)["a"].iloc[0] == 1
+        assert sm.load_recent_diagnostics_frame(
+            tmp_path)["b"].iloc[0] == 2

@@ -135,3 +135,88 @@ class TestMusicFeatureWorkflow:
             "Perceived Category": ["Happy", "Sad", "Sad", "Sad"]})
         res = analyse_category_reassignments(frame, save_dir=tmp_path)
         assert res is not None
+
+
+class TestTaskAlignment:
+    def _setup(self):
+        fs_psd, dur = 4.0, 60.0
+        t = np.arange(int(fs_psd * dur)) / fs_psd
+        t0 = pd.Timestamp("2026-01-01", tz="UTC")
+        psd_times = pd.DatetimeIndex(
+            [t0 + pd.Timedelta(seconds=s) for s in t])
+        # 0.1 Hz bursts in both EMG power and force, EMG delayed 0.5 s
+        force_vals = 1.0 + np.sin(2 * np.pi * 0.1 * t)
+        emg = 1.0 + np.sin(2 * np.pi * 0.1 * (t - 0.5))
+        force = pd.Series(force_vals, index=psd_times)
+        return emg, psd_times, force, t0
+
+    def test_detects_half_second_lag(self):
+        from mba_tpu.workflows.time_alignment_validation_workflow \
+            import analyze_task_alignment
+        emg, psd_times, force, t0 = self._setup()
+        res = analyze_task_alignment(
+            emg, psd_times, force, t0,
+            t0 + pd.Timedelta(seconds=60), "task0")
+        assert res["error"] is None
+        assert res["n_matched_peaks"] >= 4
+        # force leads EMG by ~0.5 s -> matched lag ~ -0.5 s
+        assert res["median_lag_sec"] == pytest.approx(-0.5, abs=0.3)
+        assert abs(res["cross_corr_optimal_lag_sec"] + 0.5) < 0.5
+        assert res["cross_corr_max"] > 0.8
+
+    def test_insufficient_data(self):
+        from mba_tpu.workflows.time_alignment_validation_workflow \
+            import analyze_task_alignment
+        emg, psd_times, force, t0 = self._setup()
+        res = analyze_task_alignment(
+            emg, psd_times, force, t0,
+            t0 + pd.Timedelta(seconds=1), "tiny")
+        assert res["error"] == "Insufficient data"
+
+    def test_comparison_plots(self, tmp_path):
+        from mba_tpu.workflows.time_alignment_validation_workflow \
+            import (analyze_task_alignment,
+                    create_multi_task_comparison_plot,
+                    create_power_comparison_plot)
+        emg, psd_times, force, t0 = self._setup()
+        res = analyze_task_alignment(
+            emg, psd_times, force, t0,
+            t0 + pd.Timedelta(seconds=60), "task0")
+        create_multi_task_comparison_plot([res], save_dir=tmp_path)
+        create_power_comparison_plot(emg, emg * 0.5, psd_times, force,
+                                     save_dir=tmp_path)
+        assert list(tmp_path.glob("*Task Alignment Comparison*.png"))
+        assert list(tmp_path.glob("*Power Comparison*.png"))
+
+
+class TestPsdAvgWithStd:
+    def test_bands_plotted_and_saved(self, tmp_path):
+        from mba_tpu.pipeline.visualizations import plot_psd_avg_with_std
+        rng = np.random.default_rng(0)
+        bands = {"alpha": rng.standard_normal((100, 8)) + 3.0,
+                 "beta": rng.standard_normal((100, 8))}
+        fig, ax = plot_psd_avg_with_std(bands, sampling_freq=4.0,
+                                        save_dir=tmp_path)
+        assert len(ax.get_lines()) == 2
+        assert ax.get_legend() is not None
+        assert list(tmp_path.glob("*Power Spectral Density*.png"))
+
+
+class TestRqbLevelDefinitions:
+    def test_accuracy_levels_collinearity_flags(self):
+        from mba_tpu.workflows.statistics_RQ_B_omnibus_testing_workflow \
+            import fetch_accuracy_level_definitions
+        full = fetch_accuracy_level_definitions(True)
+        assert len(full) == 2
+        l1_vars = full[1]["explanatory_vars"]
+        assert "Segment ID" in l1_vars
+        assert "PSD_emg_1_flexor_Global_all" in l1_vars
+        assert "CMC_Flexor_max_beta" in l1_vars
+
+        lean = fetch_accuracy_level_definitions(
+            False, include_emg_psd=False, include_max_cmc=False)
+        l1_lean = lean[1]["explanatory_vars"]
+        assert "Segment ID" not in l1_lean
+        assert not any("emg" in v for v in l1_lean if "PSD" in v)
+        assert not any("max" in v for v in l1_lean if "CMC" in v)
+        assert "CMC_Flexor_mean_beta" in l1_lean
