@@ -141,6 +141,44 @@ def tpu_rate(eeg, emg):
     return rate, elapsed, n_windows
 
 
+def tpu_compute_only_rate(eeg, emg):
+    """Device-resident rate (inputs pre-placed, scalar-sum sync): the
+    per-chip capability with the tunnel's transfer cost excluded."""
+    import jax
+    import jax.numpy as jnp
+    from scipy.stats import t as t_dist
+    from mba_tpu.ops import coherence as C
+    from mba_tpu.ops.dpss import filtered_tapers
+
+    ws = int(WINDOW_SEC * FS)
+    hop = int(ws * (1 - OVERLAP))
+    tapers = jax.device_put(np.asarray(filtered_tapers(ws, NW, 0.9),
+                                       np.float32))
+    K = int(tapers.shape[0])
+    starts = jnp.asarray(np.arange(0, eeg.shape[0] - ws + 1, hop),
+                         jnp.int32)
+    eeg_d = jax.device_put(eeg)
+    emg_d = jax.device_put(emg)
+    t_crit = np.float32(t_dist.ppf(0.975, K - 1))
+    inv = np.float32(1.0 / (FS * ws))
+
+    def run():
+        res = C._msc_all_windows(
+            eeg_d, emg_d, starts, tapers, inv, t_crit, ws, 1, True,
+            True, use_pallas=C._pallas_available())
+        return float(jnp.sum(res["coherence"]))   # scalar sync
+
+    run()                                         # compile warm-up
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - t0)
+    elapsed = float(np.min(times))
+    n_windows = len(starts)
+    return n_windows * N_EEG * N_EMG / elapsed, elapsed, n_windows
+
+
 def surrogate_null_wall(n_surrogates=10_000):
     from mba_tpu.ops.surrogate import msc_phase_randomized_null
 
@@ -252,6 +290,14 @@ def main():
     rate_cpu, t_cpu = cpu_reference_rate(eeg, emg)
     log(f"CPU reference: {t_cpu:.2f}s for 2 windows "
         f"→ {rate_cpu:,.0f} spectra/s")
+
+    try:
+        rate_dev, t_dev, nw_dev = tpu_compute_only_rate(eeg, emg)
+        log(f"TPU compute-only (device-resident): {nw_dev} windows in "
+            f"{t_dev:.3f}s → {rate_dev:,.0f} spectra/s "
+            f"({rate_dev / rate_cpu:,.0f}x CPU)")
+    except Exception as e:
+        log(f"compute-only bench failed: {e!r}")
 
     try:
         t_null, _ = surrogate_null_wall()
