@@ -343,3 +343,57 @@ class TestChannelLayoutParity:
         for v in (0.5, 1.0, 1.5, 2.0, 2.5):
             assert dynamometer_volt_to_force(v) == \
                 pytest.approx(2.2 * v ** 4.1071, rel=1e-9)
+
+
+class TestArtifactInterop:
+    """Artifacts written by one implementation must load with the other
+    — users can mix the reference and mba_tpu mid-study."""
+
+    def _arrays(self):
+        rng = np.random.default_rng(0)
+        spec = rng.standard_normal((6, 17, 4)).astype(np.float32)
+        times = np.arange(6) * 0.5 + 0.25
+        freqs = np.linspace(0, 128, 17)
+        return spec, times, freqs
+
+    def test_reference_saves_we_fetch(self, ref, mine, tmp_path):
+        spec, times, freqs = self._arrays()
+        ref.features.save_spectrograms(spec, times, freqs, "PSD",
+                                       save_dir=tmp_path,
+                                       identifier_suffix="eeg")
+        got_spec, got_t, got_f = mine.features.fetch_stored_spectrograms(
+            tmp_path, "PSD", file_identifier="eeg",
+            expected_n_channels=4)
+        np.testing.assert_allclose(got_spec, spec)
+        np.testing.assert_allclose(got_t, times)
+        np.testing.assert_allclose(got_f, freqs)
+
+    def test_we_save_reference_fetches(self, ref, mine, tmp_path):
+        spec, times, freqs = self._arrays()
+        mine.features.save_spectrograms(spec, times, freqs, "CMC",
+                                        save_dir=tmp_path,
+                                        identifier_suffix="flexor")
+        got_spec, got_t, got_f = ref.features.fetch_stored_spectrograms(
+            tmp_path, "CMC", file_identifier="flexor",
+            expected_n_channels=4)
+        np.testing.assert_allclose(got_spec, spec)
+        np.testing.assert_allclose(got_t, times)
+        np.testing.assert_allclose(got_f, freqs)
+
+    def test_enriched_log_csv_interop(self, ref, mine, tmp_path):
+        # our enriched-log CSV loads through the reference's fetch path
+        from tests.test_pipeline_data_integration import make_raw_log
+        from mba_tpu.utils.file_management import file_title, assert_dir
+        enriched = mine.integration.prepare_log_frame(
+            make_raw_log(), set_time_index=False)
+        log_dir = tmp_path / "experiment_logs"
+        assert_dir(log_dir)
+        enriched.to_csv(log_dir / file_title(
+            "Enriched Experiment Log", ".csv"), index=False)
+        got = ref.integration.fetch_enriched_log_frame(tmp_path,
+                                                       verbose=False)
+        assert len(got) == len(enriched)
+        assert "Music Category" in got.columns
+        m_cats = set(enriched["Music Category"].dropna())
+        r_cats = set(got["Music Category"].dropna())
+        assert m_cats == r_cats
