@@ -69,6 +69,38 @@ def resample_data(data: np.ndarray, original_sampling_freq,
     return out.T if axis == 1 else out
 
 
+def jackknife_coherence_and_ci(tapers_filtered: np.ndarray,
+                               eeg_window: np.ndarray,
+                               emg_window: np.ndarray,
+                               sampling_freq: float,
+                               window_samples: int,
+                               jackknife_alpha: float = 0.05) -> tuple:
+    """Leave-one-taper-out jackknife for one window (reference
+    signal_features.py:484-578): mean in coherence space, variance in
+    Fisher-z space, Student-t CI clamped to contain the mean.
+
+    Same signature and outputs as the reference, computed by the TPU
+    kernel's algebraic O(K) formulation instead of the reference's
+    O(K^2) per-taper re-accumulation.
+    """
+    import jax.numpy as jnp
+    from scipy.stats import t as t_dist
+    from mba_tpu.ops.coherence import _msc_chunk_kernel
+
+    tapers = np.asarray(tapers_filtered, np.float32)
+    K = tapers.shape[0]
+    t_crit = np.float32(t_dist.ppf(1 - jackknife_alpha / 2, K - 1))
+    inv_fs_n = np.float32(1.0 / (sampling_freq * window_samples))
+    out = _msc_chunk_kernel(
+        jnp.asarray(eeg_window, jnp.float32)[None],
+        jnp.asarray(emg_window, jnp.float32)[None],
+        jnp.asarray(tapers), inv_fs_n, t_crit,
+        use_jackknife=True, aggregate_emg_max=False)
+    return (np.asarray(out["coherence"])[0],
+            np.asarray(out["ci_lower"])[0],
+            np.asarray(out["ci_upper"])[0])
+
+
 def fisher_atanh_transform(coherence: np.ndarray,
                            eps: float = 1e-10) -> np.ndarray:
     """Forward Fisher atanh: C² → z (reference :459-462)."""
@@ -369,7 +401,17 @@ def aggregate_spectrogram_over_frequency_band(
         pre_aggregate_axis: tuple[int, str] | None = None,
         lower_array: np.ndarray | None = None,
         upper_array: np.ndarray | None = None) -> dict:
-    """Per-band aggregation with CI-coherent argmax (reference :1174-1371)."""
+    """Per-band aggregation with CI-coherent argmax (reference :1174-1371).
+
+    DELIBERATE DEVIATION from the reference: the reference selects band
+    bins with ``np.take(spectrograms, boolean_mask, axis=...)``
+    (signal_features.py:1292), but NumPy interprets a boolean array
+    passed to ``np.take`` as integer indices 0/1 — so the reference
+    aggregates a mixture of frequency bins 0 and 1 for EVERY band
+    instead of the bins inside the band.  This implementation uses
+    ``np.compress`` (true boolean selection).  The discrepancy is pinned
+    by tests/test_reference_parity.py::TestAggregatorParity.
+    """
     if frequency_bands is None:
         frequency_bands = FREQUENCY_BANDS
     min_ndim = 2 + int(pre_aggregate_axis is not None)

@@ -397,3 +397,94 @@ class TestArtifactInterop:
         m_cats = set(enriched["Music Category"].dropna())
         r_cats = set(got["Music Category"].dropna())
         assert m_cats == r_cats
+
+
+class TestAggregatorParity:
+    def test_band_aggregation_deviates_from_reference_take_bug(
+            self, ref, mine):
+        """DELIBERATE DEVIATION: the reference selects band bins with
+        np.take(spectrograms, boolean_mask, ...) — NumPy reads the
+        boolean mask as 0/1 INDICES, so the reference aggregates a
+        mixture of frequency bins 0 and 1 for every band.  We use true
+        boolean selection (np.compress).  This test pins BOTH
+        behaviors so the deviation is explicit."""
+        rng = np.random.default_rng(0)
+        spec = rng.random((5, 40, 3)).astype(np.float32)
+        freqs = np.linspace(0, 100, 40)
+        m = mine.features.aggregate_spectrogram_over_frequency_band(
+            spec, freqs, behaviour="mean")
+        r = ref.features.aggregate_spectrogram_over_frequency_band(
+            spec, freqs, behaviour="mean")
+        # ours: delta = (0.5, 4) Hz selects exactly bin 1 (2.56 Hz)
+        np.testing.assert_allclose(np.asarray(m["delta"]), spec[:, 1],
+                                   rtol=1e-6)
+        # reference: mean over bins [0]*39 + [1] regardless of the band
+        mask = (freqs >= 0.5) & (freqs < 4)
+        ref_expected = np.take(spec, mask.astype(int), axis=1
+                               ).mean(axis=1)
+        np.testing.assert_allclose(np.asarray(r["delta"]), ref_expected,
+                                   rtol=1e-6)
+
+    def test_band_aggregation_ci_alignment_and_pre_axis(self, mine):
+        """Correct-semantics properties of our aggregator (the reference
+        comparison is impossible due to its np.take bug)."""
+        rng = np.random.default_rng(1)
+        spec = rng.random((5, 40, 3, 2)).astype(np.float32) + 0.01
+        lower = np.clip(spec - 0.1, 0, None)
+        upper = spec + 0.1
+        freqs = np.linspace(0, 100, 40)
+        out = mine.features.aggregate_spectrogram_over_frequency_band(
+            spec[..., 0], freqs, behaviour="max",
+            lower_array=lower[..., 0], upper_array=upper[..., 0])
+        for band, (main, lo, hi) in out.items():
+            # CI bounds taken at the argmax bin stay aligned
+            np.testing.assert_allclose(np.asarray(hi)
+                                       - np.asarray(main), 0.1,
+                                       rtol=1e-4, err_msg=band)
+        pre = mine.features.aggregate_spectrogram_over_frequency_band(
+            spec, freqs, behaviour="max", log_transform=True,
+            pre_aggregate_axis=(3, "max"))
+        beta_sel = (freqs >= 13) & (freqs < 30)
+        expected = np.log10(spec.max(axis=3)[:, beta_sel]
+                            + 1e-10).max(axis=1)
+        np.testing.assert_allclose(np.asarray(pre["beta"]), expected,
+                                   rtol=1e-5)
+
+    def test_psd_aggregation_stages(self, ref, mine):
+        rng = np.random.default_rng(2)
+        psd = rng.random((6, 50, 4)).astype(np.float64) + 0.1
+        freqs = np.linspace(0, 200, 50)
+        cases = [
+            dict(freq_slice=(10.0, 40.0),
+                 aggregation_ops=[("mean", 1), ("max", 1)]),
+            dict(freq_slice="beta", channel_indices=[0, 2],
+                 aggregation_ops=[("mean", 2), ("mean", 1)]),
+            dict(normalize_mvc=True,
+                 aggregation_ops=[("mean", 1)]),
+        ]
+        for kwargs in cases:
+            r = ref.features.aggregate_psd_spectrogram(
+                psd.copy(), psd_freqs=freqs, **kwargs)
+            m = mine.features.aggregate_psd_spectrogram(
+                psd.copy(), psd_freqs=freqs, **kwargs)
+            np.testing.assert_allclose(np.asarray(m), np.asarray(r),
+                                       rtol=1e-6,
+                                       err_msg=str(kwargs))
+
+    def test_jackknife_helper_direct(self, ref, mine):
+        import scipy.signal
+        rng = np.random.default_rng(3)
+        fs, ws = 256.0, 128
+        eeg_w = rng.standard_normal((ws, 2)).astype(np.float32)
+        emg_w = rng.standard_normal((ws, 3)).astype(np.float32)
+        tapers, ratios = scipy.signal.windows.dpss(
+            M=ws, NW=3, Kmax=5, return_ratios=True)
+        tapers = tapers[ratios > 0.9]
+        tapers /= np.sqrt((tapers ** 2).sum(axis=1, keepdims=True))
+        r_mean, r_lo, r_hi = ref.features.jackknife_coherence_and_ci(
+            tapers, eeg_w, emg_w, fs, ws)
+        m_mean, m_lo, m_hi = mine.features.jackknife_coherence_and_ci(
+            tapers, eeg_w, emg_w, fs, ws)
+        np.testing.assert_allclose(m_mean, r_mean, atol=2e-4)
+        np.testing.assert_allclose(m_lo, r_lo, atol=5e-4)
+        np.testing.assert_allclose(m_hi, r_hi, atol=5e-4)
