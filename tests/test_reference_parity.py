@@ -488,3 +488,75 @@ class TestAggregatorParity:
         np.testing.assert_allclose(m_mean, r_mean, atol=2e-4)
         np.testing.assert_allclose(m_lo, r_lo, atol=5e-4)
         np.testing.assert_allclose(m_hi, r_hi, atol=5e-4)
+
+
+class TestMoreWindowAlgebraParity:
+    def test_interpolate_per_window(self, ref, mine):
+        rng = np.random.default_rng(0)
+        t0 = pd.Timestamp("2024-01-01")
+        idx = pd.date_range(t0, periods=100, freq="250ms")
+        series = pd.Series(np.cumsum(rng.standard_normal(100)),
+                           index=idx)
+        # window_time_steps are RELATIVE SECONDS in both implementations
+        windows = 1.0 + 2.0 * np.arange(8)
+        for method in ("linear", "nearest"):
+            r = ref.analysis.interpolate_per_window(
+                windows, series, method=method)
+            m = mine.analysis.interpolate_per_window(
+                windows, series, method=method)
+            np.testing.assert_allclose(np.asarray(m, float),
+                                       np.asarray(r, float),
+                                       rtol=1e-9, equal_nan=True,
+                                       err_msg=method)
+
+    def test_add_time_index(self, ref, mine):
+        t0 = pd.Timestamp("2024-01-01 10:00:00")
+        t1 = pd.Timestamp("2024-01-01 10:00:10")
+        data = np.arange(40, dtype=float)
+        r = ref.analysis.add_time_index(t0, t1, pd.Series(data))
+        m = mine.analysis.add_time_index(t0, t1, pd.Series(data))
+        assert len(r) == len(m) == 40
+        assert list(r.index) == list(m.index)
+        r_idx = ref.analysis.add_time_index(t0, t1, n_timesteps=15)
+        m_idx = mine.analysis.add_time_index(t0, t1, n_timesteps=15)
+        assert list(r_idx) == list(m_idx)
+
+
+class TestValidatorParity:
+    def test_force_freeze_detection(self, ref, mine):
+        from tests.test_pipeline_data_integration import make_raw_log
+        log = mine.integration.prepare_log_frame(make_raw_log(),
+                                                 set_time_index=True)
+        t0 = log.index.min()
+        fs = 50.0
+        n = int(95 * fs)
+        rng = np.random.default_rng(0)
+        fsr = 1.5 + 0.2 * rng.standard_normal(n)
+        # freeze the force for 2 s inside the first trial (starts ~8 s)
+        fz0 = int(15 * fs)
+        fsr[fz0:fz0 + int(2 * fs)] = fsr[fz0]
+        serial = pd.DataFrame(
+            {"fsr": fsr},
+            index=pd.date_range(t0, periods=n,
+                                freq=pd.Timedelta(seconds=1 / fs)))
+        # both implementations report through prints and return None
+        # (the reference's '-> pd.DataFrame' annotation is inaccurate);
+        # compare the per-trial verdicts in the captured output
+        import io, contextlib
+
+        def verdicts(fn):
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                assert fn(log, serial) is None
+            out = buf.getvalue()
+            return {label: ("[WARNING]" in line)
+                    for line in out.splitlines()
+                    for label in ("song_000", "song_001",
+                                  "silence_000")
+                    if label in line}
+
+        r_verdicts = verdicts(ref.integration.validate_force_measurements)
+        m_verdicts = verdicts(mine.integration.validate_force_measurements)
+        assert r_verdicts == m_verdicts
+        assert m_verdicts["song_000"] is True     # planted freeze found
+        assert m_verdicts["silence_000"] is False
