@@ -2,15 +2,18 @@
 from __future__ import annotations
 
 
-def str_to_float(value: str) -> float:
-    """Parse German-format numbers ('1.234,56' → 1234.56) and plain floats.
+def str_to_float(value: str, is_ger_format: bool = True) -> float:
+    """Parse German-format numbers ('1.234,56 kg' → 1234.56), dropping
+    units/letters; empty after stripping → 0.0.
 
     Parity: reference str_conversion.py:1-13.
     """
-    s = str(value).strip()
-    if "," in s:
+    s = str(value)
+    if is_ger_format:
         s = s.replace(".", "").replace(",", ".")
-    return float(s)
+    s = "".join(ch for ch in s if not ch.isalpha())
+    s = s.strip()
+    return 0.0 if s == "" else float(s)
 
 
 def enter_line_breaks(text: str, max_line_length: int = 60,

@@ -560,3 +560,93 @@ class TestValidatorParity:
         assert r_verdicts == m_verdicts
         assert m_verdicts["song_000"] is True     # planted freeze found
         assert m_verdicts["silence_000"] is False
+
+
+class TestUtilsParity:
+    @pytest.fixture(scope="class")
+    def ref_utils(self, ref):
+        from src.utils import file_management, str_conversion
+        return SimpleNamespace(fm=file_management, sc=str_conversion)
+
+    def test_file_title_format_compatible(self, ref_utils):
+        from mba_tpu.utils import file_management as my_fm
+        r = ref_utils.fm.file_title("My Artifact", ".csv")
+        m = my_fm.file_title("My Artifact", ".csv")
+        # identical grammar: 'YYYY-MM-DD HH_MM_SS My Artifact.csv'
+        import re
+        pat = re.compile(r"^\d{4}-\d{2}-\d{2} \d{2}_\d{2}_\d{2} "
+                         r"My Artifact\.csv$")
+        assert pat.match(r), r
+        assert pat.match(m), m
+
+    def test_most_recent_file_cross_resolves(self, ref_utils, tmp_path):
+        # artifacts named by our file_title resolve through the
+        # reference's most_recent_file and vice versa
+        from mba_tpu.utils import file_management as my_fm
+        old = tmp_path / "2020-01-01 00_00_00 Combined Statistics.csv"
+        old.write_text("old")
+        new = tmp_path / my_fm.file_title("Combined Statistics", ".csv")
+        new.write_text("new")
+        r_path = ref_utils.fm.most_recent_file(
+            tmp_path, ".csv", ["Combined Statistics"])
+        m_path = my_fm.most_recent_file(
+            tmp_path, ".csv", ["Combined Statistics"])
+        assert Path(r_path).name == Path(m_path).name == new.name
+
+    def test_txt_config_parity(self, ref_utils, tmp_path):
+        from mba_tpu.utils.file_management import TxtConfig as MyTxt
+        cfg = tmp_path / "config.txt"
+        cfg.write_text("Trial Duration --- 45.0\n"
+                       "Categories --- Happy, Sad\n"
+                       "Use Music --- True\n")
+        r = ref_utils.fm.TxtConfig(cfg)
+        m = MyTxt(cfg)
+        assert r.get_as_type("Trial Duration", "float") == \
+            m.get_as_type("Trial Duration", "float") == 45.0
+        assert r.get_as_type("Categories", "str_list") == \
+            m.get_as_type("Categories", "str_list") == ["Happy", "Sad"]
+        assert r.get_as_type("Use Music", "bool") is True
+        assert m.get_as_type("Use Music", "bool") is True
+
+    def test_str_conversion_parity(self, ref_utils):
+        from mba_tpu.utils import str_conversion as my_sc
+        for raw in ("1.234,56 kg", "12,5V", "3,0"):
+            assert my_sc.str_to_float(raw) == \
+                ref_utils.sc.str_to_float(raw), raw
+        # enter_line_breaks: ours wraps at word boundaries; the
+        # reference scans fixed strides (and can split words when no
+        # space falls in its excess window).  Require identical CONTENT
+        # and bounded lines from both, not identical break positions.
+        long = "word " * 60
+        for fn in (my_sc.enter_line_breaks,
+                   ref_utils.sc.enter_line_breaks):
+            wrapped = fn(long, 50)
+            assert wrapped.replace("\n", " ").split() == long.split()
+        assert max(len(line) for line in
+                   my_sc.enter_line_breaks(long, 50).split("\n")) <= 50
+
+
+class TestScaledForceParity:
+    def test_task_wise_scaled_force(self, ref, mine):
+        from tests.test_pipeline_data_integration import make_raw_log
+        log = mine.integration.prepare_log_frame(make_raw_log(),
+                                                 set_time_index=True)
+        t0 = log.index.min()
+        fs = 20.0
+        n = int(95 * fs)
+        rng = np.random.default_rng(0)
+        t = np.arange(n) / fs
+        fsr = pd.Series(
+            1.5 + 0.5 * np.sin(2 * np.pi * 0.2 * t)
+            + 0.02 * rng.standard_normal(n),
+            index=pd.date_range(t0, periods=n,
+                                freq=pd.Timedelta(seconds=1 / fs)))
+        r = ref.features.compute_task_wise_scaled_force(
+            fsr, log, verbose=False)
+        m = mine.features.compute_task_wise_scaled_force(
+            fsr, log, verbose=False)
+        np.testing.assert_allclose(np.asarray(m, float),
+                                   np.asarray(r, float),
+                                   rtol=1e-9, equal_nan=True)
+        inside = ~pd.isna(np.asarray(r, float))
+        assert inside.sum() > 100        # trials actually covered
