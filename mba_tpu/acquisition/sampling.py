@@ -127,6 +127,12 @@ def _tiered_saver(save_dir: Path, rows: list, final: bool = False,
     save_dir = Path(save_dir)
     filemgmt.assert_dir(save_dir)
     df = pd.DataFrame(rows)
+    if "Time" in df.columns:
+        # reference CSV format: timestamps as an UNNAMED index column
+        # (the reference loader resolves the time column as the last
+        # 'Unnamed' column, data_integration.py:1557-1573)
+        df = df.set_index("Time")
+        df.index.name = None
     if final:
         df.to_csv(save_dir / filemgmt.file_title(
             "Serial Measurements Final Save", ".csv"))

@@ -650,3 +650,65 @@ class TestScaledForceParity:
                                    rtol=1e-9, equal_nan=True)
         inside = ~pd.isna(np.asarray(r, float))
         assert inside.sum() > 100        # trials actually covered
+
+
+class TestAcquisitionInterop:
+    """Artifacts produced by OUR headless acquisition stack must load
+    through the REFERENCE's fetch paths — the new experiment runner can
+    feed the original analysis pipeline unchanged."""
+
+    @pytest.fixture(scope="class")
+    def experiment(self, tmp_path_factory):
+        from mba_tpu.acquisition.experiment import (
+            ExperimentConfig, start_experiment_processes)
+        root = tmp_path_factory.mktemp("interop")
+        # real time scale: the reference's hardcoded timing constants
+        # (6 s RMSE end-delay, 3.25 s latency, 2 s cutoff) need real-
+        # length trials; 20 s trials keep the test under a minute
+        cfg = ExperimentConfig(
+            subject_id=0, output_dir=root, trial_duration_sec=20.0,
+            n_trials_per_category=1, categories=["Familiar Happy"],
+            n_silence_trials=1, task_frequencies_hz=[0.5],
+            mvc_calibration_sec=3.0, dummy_mode=True)
+        start_experiment_processes(cfg, time_scale=1.0)
+        return root / "subject_00"
+
+    def test_experiment_log_loads(self, ref, experiment):
+        raw = ref.integration.fetch_experiment_log(experiment)
+        assert {"Time", "Music", "Event", "Questionnaire"} <= \
+            set(raw.columns)
+        # pandas>=3 reads empty CSV cells as NaN; the reference's regex
+        # parsing predates that (old astype(str) semantics) — normalize
+        raw = raw.fillna("")
+        enriched = ref.integration.prepare_log_frame(
+            raw, set_time_index=True)
+        spans = ref.integration.get_all_task_start_ends(
+            enriched, "list")        # reference default timing
+        assert len(spans) == 2       # one song + one silence trial
+
+    def test_serial_measurements_load(self, ref, experiment):
+        serial = ref.integration.fetch_serial_measurements(experiment)
+        assert {"fsr", "ecg", "gsr"} <= set(serial.columns)
+        assert len(serial) > 100
+        assert isinstance(serial.index, pd.DatetimeIndex)
+
+    def test_questionnaires_and_personal_data_load(self, ref,
+                                                   experiment):
+        personal = ref.integration.fetch_personal_data(experiment)
+        assert personal["Dominant hand"] == "Right"
+        q = ref.integration.fetch_trial_questionnaire(experiment,
+                                                      song_id=0)
+        assert q["Liking"] == 3
+        onboard = ref.integration.fetch_onboarding_questionnaire(
+            experiment)
+        assert "Listening habit" in onboard
+
+    def test_trial_accuracy_loads(self, ref, experiment):
+        acc = ref.integration.fetch_trial_accuracy(experiment,
+                                                   song_id=0)
+        assert len(acc) > 0
+
+    def test_song_information_loads(self, ref, experiment):
+        info = ref.integration.fetch_song_information(experiment,
+                                                      song_id=0)
+        assert info["Duration [ms]"] == 180000
