@@ -652,6 +652,24 @@ class TestScaledForceParity:
         assert inside.sum() > 100        # trials actually covered
 
 
+@pytest.fixture(scope="module")
+def experiment_log(ref, tmp_path_factory):
+    """Enriched log + experiment dir from a real-time dummy run."""
+    from mba_tpu.acquisition.experiment import (ExperimentConfig,
+                                                start_experiment_processes)
+    root = tmp_path_factory.mktemp("val_interop")
+    cfg = ExperimentConfig(
+        subject_id=0, output_dir=root, trial_duration_sec=15.0,
+        n_trials_per_category=1, categories=["Familiar Happy"],
+        n_silence_trials=1, task_frequencies_hz=[0.5],
+        mvc_calibration_sec=2.0, dummy_mode=True)
+    start_experiment_processes(cfg, time_scale=1.0)
+    exp_dir = root / "subject_00"
+    raw = ref.integration.fetch_experiment_log(exp_dir).fillna("")
+    log = ref.integration.prepare_log_frame(raw, set_time_index=True)
+    return log, exp_dir
+
+
 class TestAcquisitionInterop:
     """Artifacts produced by OUR headless acquisition stack must load
     through the REFERENCE's fetch paths — the new experiment runner can
@@ -712,3 +730,58 @@ class TestAcquisitionInterop:
         info = ref.integration.fetch_song_information(experiment,
                                                       song_id=0)
         assert info["Duration [ms]"] == 180000
+
+
+class TestValidationAndCurationParity:
+    """Validators / repair / music-feature join on the acquisition
+    fixture's real artifacts, run through BOTH implementations."""
+
+    def test_song_index_validation_agrees(self, ref, mine, experiment_log):
+        log, exp_dir = experiment_log
+        r = ref.integration.validate_song_indices(
+            log.copy(), exp_dir, verbose=False)
+        m = mine.integration.validate_song_indices(
+            log.copy(), exp_dir, verbose=False)
+        assert r["valid"] == m["valid"] is True
+        assert len(r["matches"]) == len(m["matches"]) >= 1
+        assert len(r["mismatches"]) == len(m["mismatches"]) == 0
+
+    def test_questionnaire_validation_and_repair_agree(
+            self, ref, mine, experiment_log):
+        log, exp_dir = experiment_log
+        r = ref.integration.validate_trial_questionnaires(
+            log.copy(), exp_dir, verbose=False)
+        m = mine.integration.validate_trial_questionnaires(
+            log.copy(), exp_dir, verbose=False)
+        assert r["valid"] == m["valid"]
+        assert len(r["song_matches"]) == len(m["song_matches"]) >= 1
+        assert len(r["silence_matches"]) == \
+            len(m["silence_matches"]) >= 1
+        assert len(r["mismatches"]) == len(m["mismatches"])
+        # repair is a no-op when nothing mismatches, identical outputs
+        r_fixed = ref.integration.repair_trial_questionnaire_mismatches(
+            log.copy(), r)
+        m_fixed = mine.integration.repair_trial_questionnaire_mismatches(
+            log.copy(), m)
+        assert len(r_fixed) == len(m_fixed)
+
+    def test_music_feature_join(self, ref, mine, experiment_log,
+                                tmp_path):
+        from mba_tpu.utils.file_management import file_title
+        log, exp_dir = experiment_log
+        lookup = pd.DataFrame({
+            "Title": ["Track0"], "Artist": ["Artist"],
+            "BPM_manual": [120.0], "Spectral Flux Mean": [0.5],
+            "Spectral Centroid Mean": [1500.0],
+            "IOI Variance Coeff": [0.2], "Syncopation Ratio": [0.1]})
+        path = tmp_path / file_title(
+            "Song Characteristics Lookup Table", ".csv")
+        lookup.to_csv(path, index=False)
+        r = ref.integration.fetch_music_features(
+            log, music_lookup_table_path=path, song_id=0)
+        m = mine.integration.fetch_music_features(
+            log, music_lookup_table_path=path, song_id=0)
+        np.testing.assert_allclose(np.asarray(m, float),
+                                   np.asarray(r, float))
+        assert list(np.asarray(r, float)) == [120.0, 0.5, 1500.0,
+                                              0.2, 0.1]
