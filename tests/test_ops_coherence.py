@@ -269,3 +269,23 @@ class TestPallasEpilogue:
             np.testing.assert_allclose(np.asarray(out[key]),
                                        np.asarray(ref[key]),
                                        atol=5e-5, err_msg=key)
+
+    def test_transfer_dtype_halves_payload_precision_ok(self):
+        import jax.numpy as jnp
+        from mba_tpu.ops.coherence import multitaper_msc
+        rng = np.random.default_rng(0)
+        fs, n = 256.0, 256 * 6
+        eeg = rng.standard_normal((n, 4)).astype(np.float32)
+        emg = rng.standard_normal((n, 2)).astype(np.float32)
+        kw = dict(nw=3, window_length_sec=1.0, use_jackknife=True,
+                  apply_independence_threshold=False)
+        full = multitaper_msc(eeg, emg, fs, **kw)
+        half = multitaper_msc(eeg, emg, fs, transfer_dtype=jnp.float16,
+                              **kw)
+        # public contract stays float32 on the host
+        assert half["coherence_raw"].dtype == np.float32
+        np.testing.assert_allclose(half["coherence_raw"],
+                                   full["coherence_raw"], atol=6e-4)
+        np.testing.assert_allclose(half["coherence_ci_upper"],
+                                   full["coherence_ci_upper"],
+                                   atol=6e-4)
