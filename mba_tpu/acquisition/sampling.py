@@ -137,9 +137,27 @@ def _tiered_saver(save_dir: Path, rows: list, final: bool = False,
         df.to_csv(save_dir / filemgmt.file_title(
             "Serial Measurements Final Save", ".csv"))
         return interim_counter
-    # redundant rolling save (fixed name, overwritten)
-    df.to_csv(save_dir / "Serial Measurements Redundant Save.csv")
+    # redundant rolling save: timestamped (undated filenames are
+    # invisible to most_recent_file), previous rolls removed
+    previous = sorted(save_dir.glob("*Redundant Save*.csv"))
+    new_path = save_dir / filemgmt.file_title(
+        "Serial Measurements Redundant Save", ".csv")
+    df.to_csv(new_path)
+    for old in previous:
+        if old != new_path:          # same-second roll keeps the file
+            old.unlink(missing_ok=True)
     return interim_counter
+
+
+def _interim_saver(save_dir: Path, rows: list) -> None:
+    """WorkMem-full interim tier, same CSV layout as the other tiers
+    (timestamps as the unnamed index column)."""
+    df = pd.DataFrame(rows)
+    if "Time" in df.columns:
+        df = df.set_index("Time")
+        df.index.name = None
+    df.to_csv(Path(save_dir) / filemgmt.file_title(
+        "Serial Measurements Interim Save WorkMem Full", ".csv"))
 
 
 def sampling_process(shared_dict, stop_event, save_dir,
@@ -220,10 +238,7 @@ def sampling_process(shared_dict, stop_event, save_dir,
                                                 interim_counter)
                 last_redundant = now
             if len(rows) >= interim_save_every_rows:
-                pd.DataFrame(rows).to_csv(
-                    Path(save_dir) / filemgmt.file_title(
-                        "Serial Measurements Interim Save WorkMem Full",
-                        ".csv"))
+                _interim_saver(save_dir, rows)
                 rows = []
                 interim_counter += 1
             time.sleep(period)
@@ -251,6 +266,7 @@ def dummy_sampling_process(shared_dict, stop_event, save_dir,
     rng = np.random.default_rng(seed)
     rows: list[dict] = []
     t_start = time.monotonic()
+    last_redundant = t_start
     period = 1.0 / sampling_rate_hz
     n = 0
     while not stop_event.is_set():
@@ -258,6 +274,11 @@ def dummy_sampling_process(shared_dict, stop_event, save_dir,
         t = now - t_start
         if run_for_sec is not None and t > run_for_sec:
             break
+        if now - last_redundant > 2.0 and rows:
+            # crash-resilient rolling save, same tiers as the real
+            # sampler (reference :341-352)
+            _tiered_saver(save_dir, rows, final=False)
+            last_redundant = now
         if start_trigger_event is not None \
                 and start_trigger_event.is_set():
             shared_dict["last_trigger"] = ("A", now)

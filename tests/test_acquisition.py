@@ -177,3 +177,52 @@ class TestExperimentChain:
         shared["fsr"] = 1.5
         mvc = calibrate_mvc(shared, duration_sec=0.1)
         assert mvc == pytest.approx(dynamometer_volt_to_force(1.5))
+
+
+class TestCrashResilience:
+    """Triple-tier saving survives a hard kill (SURVEY.md §5 failure
+    detection): the rolling Redundant Save loads through the serial
+    fetch path when no Final Save was ever written."""
+
+    def test_redundant_save_survives_sigkill(self, tmp_path):
+        import multiprocessing as mp
+        import time as _time
+        from mba_tpu.acquisition.sampling import dummy_sampling_process
+        from mba_tpu.pipeline.data_integration import (
+            fetch_serial_measurements)
+
+        subj = tmp_path / "subject_00"
+        sdir = subj / "serial_measurements"
+        sdir.mkdir(parents=True)
+        mgr = mp.Manager()
+        stop = mgr.Event()
+        shared = mgr.dict()
+        p = mp.Process(target=dummy_sampling_process,
+                       kwargs=dict(shared_dict=shared, stop_event=stop,
+                                   save_dir=sdir, run_for_sec=60.0))
+        p.start()
+        # wait until at least one rolling redundant save landed
+        deadline = _time.monotonic() + 30
+        while _time.monotonic() < deadline:
+            if list(sdir.glob("*Redundant Save*.csv")):
+                break
+            _time.sleep(0.25)
+        p.terminate()                       # hard kill — no final save
+        p.join(timeout=10)
+        assert not list(sdir.glob("*Final Save*.csv"))
+        frame = fetch_serial_measurements(subj)
+        assert len(frame) > 50
+        assert {"fsr", "ecg", "gsr"} <= set(frame.columns)
+
+    def test_interim_tier_same_layout(self, tmp_path):
+        from mba_tpu.acquisition.sampling import (_interim_saver,
+                                                  _tiered_saver)
+        import pandas as pd
+        rows = [{"Time": pd.Timestamp.now(), "fsr": 1.0, "ecg": 0.1,
+                 "gsr": 2.0} for _ in range(5)]
+        _interim_saver(tmp_path, rows)
+        _tiered_saver(tmp_path, rows, final=True)
+        interim = next(tmp_path.glob("*Interim Save WorkMem Full*.csv"))
+        final = next(tmp_path.glob("*Final Save*.csv"))
+        # identical header layout: unnamed time index + channel columns
+        assert open(interim).readline() == open(final).readline()
