@@ -201,3 +201,48 @@ class TestFdr:
         np.testing.assert_allclose(
             adj2, [0.02, 0.04, 0.04, 0.02])
         assert rej2.all()
+
+
+class TestStatisticalCalibration:
+    """Under the null the inferential chain must be calibrated: p-values
+    ~ Uniform(0,1), type-I error ~ alpha. This validates the whole
+    batched REML pipeline statistically, not just against one fit."""
+
+    def test_null_pvalues_uniform(self):
+        from scipy import stats as sps
+        rng = np.random.default_rng(0)
+        n_sims, n_subj, n_per = 400, 12, 10
+        n = n_subj * n_per
+        groups = np.repeat(np.arange(n_subj), n_per)
+        x = rng.standard_normal(n)
+        X = np.column_stack([np.ones(n), x])
+        # null data: random intercepts + noise, beta_x = 0
+        re = rng.normal(0, 0.8, size=(n_sims, n_subj))[:, groups]
+        Y = re + rng.normal(0, 1.0, size=(n_sims, n))
+        out = batched_lme_pvalues(X, Y, groups)
+        p = out["pvalues"][:, 1]
+        assert np.isfinite(p).all()
+        # type-I error at alpha=.05 within binomial tolerance
+        rate = float((p < 0.05).mean())
+        assert 0.02 <= rate <= 0.09, rate
+        # uniformity (loose KS: z-test p-values are mildly anti-
+        # conservative at this n, so only gross miscalibration fails)
+        ks = sps.kstest(p, "uniform").statistic
+        assert ks < 0.08, ks
+
+    def test_power_rises_with_effect(self):
+        rng = np.random.default_rng(1)
+        n_subj, n_per, n_sims = 12, 10, 200
+        n = n_subj * n_per
+        groups = np.repeat(np.arange(n_subj), n_per)
+        x = rng.standard_normal(n)
+        X = np.column_stack([np.ones(n), x])
+        rates = []
+        for beta in (0.0, 0.3, 0.8):
+            re = rng.normal(0, 0.8, size=(n_sims, n_subj))[:, groups]
+            Y = beta * x + re + rng.normal(0, 1.0, size=(n_sims, n))
+            p = batched_lme_pvalues(X, Y, groups)["pvalues"][:, 1]
+            rates.append(float((p < 0.05).mean()))
+        assert rates[0] < 0.12
+        assert rates[0] < rates[1] < rates[2]
+        assert rates[2] > 0.95          # large effect ~ always detected
