@@ -198,3 +198,56 @@ class TestProfiling:
                 x = jnp.ones((32, 32))
                 (x @ x).block_until_ready()
         assert any((tmp_path / "t").rglob("*"))   # trace files exist
+
+
+def _make_otb4_novecento(path, n_samples=50, fs=2000, gain=200.0,
+                         bits=24, adc_range=10.0):
+    """Novecento+ archive: two int32 blocks in the SECOND .sig (the
+    first .sig is the typically-empty stream), mapped via
+    SignalStreamPath."""
+    blocks = [("data_001.sig", 4), ("data_001.sig", 2)]
+    tracks_xml = ['<?xml version="1.0"?>', '<ArrayOfTrackInfo>']
+    acq = 0
+    for sig_name, n_ch in blocks:
+        tracks_xml.append(f"""<TrackInfo>
+  <Device>Novecento+;extra</Device>
+  <Gain>{gain}</Gain>
+  <ADC_Nbits>{bits}</ADC_Nbits>
+  <ADC_Range>{adc_range}</ADC_Range>
+  <SamplingFrequency>{fs}</SamplingFrequency>
+  <SignalStreamPath>{sig_name}</SignalStreamPath>
+  <NumberOfChannels>{n_ch}</NumberOfChannels>
+  <AcquisitionChannel>{acq}</AcquisitionChannel>
+</TrackInfo>""")
+        acq += n_ch
+    tracks_xml.append('</ArrayOfTrackInfo>')
+    rng = np.random.default_rng(1)
+    raw = rng.integers(-2 ** 20, 2 ** 20, size=(6, n_samples),
+                       dtype=np.int32)
+    import io as _io
+    with tarfile.open(path, "w") as tar:
+        payloads = [("Tracks_000.xml",
+                     "\n".join(tracks_xml).encode()),
+                    ("data_000.sig", b""),          # empty first stream
+                    ("data_001.sig",
+                     raw.reshape(-1, order="F").tobytes())]
+        for name, payload in payloads:
+            info = tarfile.TarInfo(name)
+            info.size = len(payload)
+            tar.addfile(info, _io.BytesIO(payload))
+    return raw, gain, bits, adc_range, fs
+
+
+class TestOtb4Novecento:
+    def test_int32_multiblock(self, tmp_path):
+        p = tmp_path / "nov.otb4"
+        raw, gain, bits, adc_range, fs = _make_otb4_novecento(p)
+        parsed = read_otb4(p)
+        assert parsed["device"] == "Novecento+"
+        assert parsed["n_channels"] == 6
+        name, data, got_fs = parsed["signals"][0]
+        assert got_fs == fs
+        assert data.shape == (6, 50)
+        expected = raw * adc_range / 2 ** bits * 1000.0 / gain
+        np.testing.assert_allclose(data, expected.astype(np.float32),
+                                   rtol=1e-6)
