@@ -186,6 +186,10 @@ def _assign_tercile_band(grp: pd.DataFrame) -> pd.Series:
 def build_mi_summary(mi_df: pd.DataFrame,
                      min_mi_score: float = 0.05) -> pd.DataFrame:
     """(Condition × Target) × Feature MI matrix with candidates column."""
+    if mi_df.empty or "MI_Score" not in mi_df.columns:
+        # every MI probe was skipped (e.g. fewer than 4 subjects)
+        warnings.warn("[MI Summary] No MI scores were computed.")
+        return pd.DataFrame()
     mi_df = mi_df.loc[mi_df["MI_Score"] >= min_mi_score].copy()
     if mi_df.empty:
         warnings.warn(f"[MI Summary] No scores >= {min_mi_score}.")

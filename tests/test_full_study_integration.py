@@ -263,3 +263,61 @@ class TestFullStudy:
         run_batch([cfg])
         assert list(out.glob("*CBPA Results*.npz")) or \
             list(out.glob("*toy_Happy_vs_Silence*"))
+
+    def test_influence_effects_and_heterogeneity(self, study):
+        """LOSO influence + subject-effect summary + the heterogeneity
+        pipeline on the toy study's real artifacts."""
+        import mba_tpu.pipeline.statistical_modelling as sm
+        from mba_tpu.pipeline.heterogeneity_modelling import (
+            run_heterogeneity_modelling)
+
+        from mba_tpu.workflows.statistics_RQ_A_omnibus_testing_workflow \
+            import run_omnibus
+        stats_dir = study["out_dir"] / "rq_a_influence"
+
+        def levels(multi):
+            return [{
+                'df_filter': None,
+                'condition_vars': {'Category or Silence': 'categorical'},
+                'reference_categories': {'Category or Silence':
+                                         'Silence'},
+                'explanatory_vars': [], 'moderation_pairs': None}]
+
+        combined = run_omnibus(
+            study["feat_data"], stats_dir,
+            n_within_trial_segments_list=[1],
+            hypotheses=[('H1: Flexor Beta Peak CMC',
+                         'CMC_Flexor_max_beta')],
+            level_definitions_factory=levels, fdr_levels=[],
+            make_forest_mosaics=False)
+
+        influence = sm.run_influence_analysis(
+            [("CMC_Flexor_max_beta", 0, 1)], combined,
+            study["feat_data"], stats_dir, levels)
+        assert not influence.empty
+        assert set(influence["Subject_ID"].astype(int)) == \
+            set(range(N_SUBJECTS))
+        assert {"DFBETA", "CooksD"} <= set(influence.columns)
+
+        base_df = pd.read_csv(
+            __import__("mba_tpu.utils.file_management",
+                       fromlist=["most_recent_file"]).most_recent_file(
+                study["feat_data"], ".csv",
+                ["Combined Statistics 1seg"]))
+        summary = sm.create_subject_effect_summary(
+            combined.to_dict("records"), base_df, stats_dir, levels(False))
+        assert not summary.empty
+
+        het_out = study["out_dir"] / "heterogeneity"
+        run_heterogeneity_modelling(
+            dep_vars=["CMC_Flexor_max_beta"],
+            conditions_to_evaluate={
+                "lvl_0": ("Category or Silence", ["Happy", "Sad"])},
+            clustering_measures=["contrast"],
+            plot_mi_categories=[], top_n_moderators=2,
+            min_cluster_size=1, output_dir=het_out,
+            omnibus_results_dir=stats_dir,
+            experiment_results_dir=study["exp_data"])
+        produced = list(het_out.glob("*.csv")) + list(
+            het_out.glob("*.png"))
+        assert produced, "heterogeneity produced no artifacts"
