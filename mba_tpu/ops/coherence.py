@@ -302,16 +302,25 @@ def multitaper_msc(
         starts_padded = np.concatenate(
             [starts[active], np.full(n_pad, starts[active[0]],
                                      dtype=starts.dtype)])
-        device_out = _msc_all_windows(
-            eeg_j, emg_j, jnp.asarray(starts_padded, jnp.int32), tapers_j,
-            inv_fs_n, t_crit, window_samples, chunk, use_jackknife,
-            aggregate_emg_max,
-            # pallas wins only on the max-pool path (2.3x): with full
-            # (F,E,M) outputs the HBM writes dominate either way and the
-            # XLA lowering is ~1.4x faster (measured on v5e)
-            use_pallas=(use_jackknife and aggregate_emg_max
-                        and _pallas_available()),
-            transfer_dtype=transfer_dtype)
+        # pallas wins only on the max-pool path (2.3x): with full
+        # (F,E,M) outputs the HBM writes dominate either way and the
+        # XLA lowering is ~1.4x faster (measured on v5e)
+        want_pallas = (use_jackknife and aggregate_emg_max
+                       and _pallas_available())
+        call = functools.partial(
+            _msc_all_windows, eeg_j, emg_j,
+            jnp.asarray(starts_padded, jnp.int32), tapers_j, inv_fs_n,
+            t_crit, window_samples, chunk, use_jackknife,
+            aggregate_emg_max, transfer_dtype=transfer_dtype)
+        if want_pallas:
+            try:
+                device_out = call(use_pallas=True)
+            except Exception as exc:     # Mosaic lowering/compile issue
+                print(f"[multitaper_msc] pallas epilogue failed "
+                      f"({type(exc).__name__}); falling back to XLA")
+                device_out = call(use_pallas=False)
+        else:
+            device_out = call(use_pallas=False)
         # single host download per output array
         compact = {key: np.asarray(val, dtype=np.float32)[:n_active]
                    for key, val in device_out.items()}
