@@ -537,7 +537,12 @@ def plot_cbpa_results(results: dict, cfg=None,
         mask = clusters[int(idx)]
         axc = axes[panel][0]
         cluster_t = np.where(mask, t_obs, np.nan)
-        axc.plot(t_ax, np.nanmean(cluster_t, axis=1), lw=1.5)
+        with np.errstate(invalid="ignore"):
+            import warnings as _w
+            with _w.catch_warnings():
+                _w.simplefilter("ignore", RuntimeWarning)
+                trace = np.nanmean(cluster_t, axis=1)
+        axc.plot(t_ax, trace, lw=1.5)
         axc.axhline(0, color="k", lw=0.8)
         axc.set_title(f"Cluster #{int(idx) + 1} mean t "
                       f"(p={results['cluster_pv'][int(idx)]:.4f})")
@@ -671,7 +676,7 @@ def plot_combined_descriptive_mosaic(frames: dict[str, pd.Series],
                              squeeze=False)
     for i, (name, series) in enumerate(items):
         ax = axes[i // n_cols][i % n_cols]
-        ax.boxplot(series, vert=True)
+        ax.boxplot(series, orientation="vertical")
         ax.scatter(np.random.default_rng(0).normal(1, 0.04, len(series)),
                    series, alpha=0.5, s=12)
         ax.set_title(name, fontsize=8)
