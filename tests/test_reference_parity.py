@@ -785,3 +785,57 @@ class TestValidationAndCurationParity:
                                    np.asarray(r, float))
         assert list(np.asarray(r, float)) == [120.0, 0.5, 1500.0,
                                               0.2, 0.1]
+
+
+class TestTaskWiseCmcOrchestratorParity:
+    """The full task-selective CMC orchestrator (mask from log + global
+    grid + jackknife + EMG-max) against the reference on the same
+    recording + enriched log."""
+
+    def test_end_to_end_values(self, ref, mine):
+        from tests.test_pipeline_data_integration import make_raw_log
+        log = mine.integration.prepare_log_frame(make_raw_log(),
+                                                 set_time_index=True)
+        fs = 128.0
+        t0 = log.index.min()
+        span = (log.index.max() - t0).total_seconds() + 5
+        n = int(span * fs)
+        rng = np.random.default_rng(0)
+        white = rng.standard_normal(n)
+        spec = np.fft.rfft(white)
+        f = np.fft.rfftfreq(n, 1 / fs)
+        spec[(f < 15) | (f > 30)] = 0
+        drive = np.fft.irfft(spec, n=n)
+        drive /= drive.std() + 1e-12
+        eeg = (0.6 * drive[:, None]
+               + rng.standard_normal((n, 64))).astype(np.float64)
+        emg = (0.6 * drive[:, None]
+               + rng.standard_normal((n, 3))).astype(np.float64)
+        # the log's relative time axis starts at the measurement start:
+        # both implementations derive window centres the same way
+        subset = ["C3", "C4", "Cz"]
+        kwargs = dict(sampling_freq=int(fs), muscle_group="flexor",
+                      log_frame=log, eeg_channel_subset=subset,
+                      window_size_sec=2.0, window_overlap_ratio=0.5,
+                      use_jackknife=True,
+                      pre_trial_computation_buffer_sec=1.0,
+                      post_trial_computation_buffer_sec=1.0)
+        r_vals, r_lo, r_hi, r_t, r_f = \
+            ref.features.compute_task_wise_aggregated_cmc(
+                eeg, emg, **kwargs)
+        m_vals, m_lo, m_hi, m_t, m_f = \
+            mine.features.compute_task_wise_aggregated_cmc(
+                eeg, emg, **kwargs)
+        np.testing.assert_allclose(m_t, r_t)
+        np.testing.assert_allclose(m_f, r_f)
+        assert m_vals.shape == r_vals.shape
+        active_r = np.asarray(r_vals).any(axis=(1, 2))
+        active_m = np.asarray(m_vals).any(axis=(1, 2))
+        np.testing.assert_array_equal(active_m, active_r)
+        assert active_r.sum() > 0          # mask selected task windows
+        np.testing.assert_allclose(np.asarray(m_vals),
+                                   np.asarray(r_vals), atol=2e-3)
+        np.testing.assert_allclose(np.asarray(m_lo),
+                                   np.asarray(r_lo), atol=5e-3)
+        np.testing.assert_allclose(np.asarray(m_hi),
+                                   np.asarray(r_hi), atol=5e-3)
