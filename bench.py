@@ -278,6 +278,26 @@ def cohort_permutation_rate(n_permutations=1000):
     return n_permutations / elapsed, elapsed
 
 
+def batched_lme_rate(n_sims=2000, n_subj=12, n_per=10):
+    """Cohort-statistics support metric: batched random-intercept REML
+    refits/s (the loops behind power analysis + clustered bootstrap)."""
+    from mba_tpu.models.lme import batched_lme_pvalues
+
+    rng = np.random.default_rng(7)
+    n = n_subj * n_per
+    groups = np.repeat(np.arange(n_subj), n_per)
+    X = np.column_stack([np.ones(n), rng.standard_normal(n)])
+    re = rng.normal(0, 0.8, size=(n_sims, n_subj))[:, groups]
+    Y = (0.3 * X[:, 1] + re
+         + rng.normal(0, 1.0, size=(n_sims, n))).astype(np.float32)
+    batched_lme_pvalues(X, Y, groups)           # compile warm-up
+    t0 = time.perf_counter()
+    out = batched_lme_pvalues(X, Y, groups)
+    elapsed = time.perf_counter() - t0
+    assert np.isfinite(out["pvalues"]).all()
+    return n_sims / elapsed, elapsed
+
+
 def main():
     eeg, emg = make_signals()
     log(f"workload: {SECONDS:.0f}s @ {FS:.0f} Hz, {N_EEG}x{N_EMG} pairs, "
@@ -323,6 +343,12 @@ def main():
             f"→ {rate_perm:,.0f} permutations/s")
     except Exception as e:
         log(f"config-5 bench failed: {e!r}")
+    try:
+        rate_lme, t_lme = batched_lme_rate()
+        log(f"config-5b batched REML LME: {t_lme:.2f}s "
+            f"→ {rate_lme:,.0f} refits/s")
+    except Exception as e:
+        log(f"config-5b bench failed: {e!r}")
 
     print(json.dumps({
         "metric": "cmc_spectra_per_sec_per_chip",
