@@ -653,43 +653,35 @@ class TestScaledForceParity:
 
 
 @pytest.fixture(scope="module")
-def experiment_log(ref, tmp_path_factory):
-    """Enriched log + experiment dir from a real-time dummy run."""
+def experiment(tmp_path_factory):
+    """ONE real-time dummy experiment shared by every interop class
+    (real time scale: the reference's hardcoded timing constants — 6 s
+    RMSE end-delay, 3.25 s latency, 2 s cutoff — need real-length
+    trials; 20 s trials keep the whole module under a minute)."""
     from mba_tpu.acquisition.experiment import (ExperimentConfig,
                                                 start_experiment_processes)
-    root = tmp_path_factory.mktemp("val_interop")
+    root = tmp_path_factory.mktemp("interop")
     cfg = ExperimentConfig(
-        subject_id=0, output_dir=root, trial_duration_sec=15.0,
+        subject_id=0, output_dir=root, trial_duration_sec=20.0,
         n_trials_per_category=1, categories=["Familiar Happy"],
         n_silence_trials=1, task_frequencies_hz=[0.5],
-        mvc_calibration_sec=2.0, dummy_mode=True)
+        mvc_calibration_sec=3.0, dummy_mode=True)
     start_experiment_processes(cfg, time_scale=1.0)
-    exp_dir = root / "subject_00"
-    raw = ref.integration.fetch_experiment_log(exp_dir).fillna("")
+    return root / "subject_00"
+
+
+@pytest.fixture(scope="module")
+def experiment_log(ref, experiment):
+    """Enriched log + experiment dir from the shared dummy run."""
+    raw = ref.integration.fetch_experiment_log(experiment).fillna("")
     log = ref.integration.prepare_log_frame(raw, set_time_index=True)
-    return log, exp_dir
+    return log, experiment
 
 
 class TestAcquisitionInterop:
     """Artifacts produced by OUR headless acquisition stack must load
     through the REFERENCE's fetch paths — the new experiment runner can
     feed the original analysis pipeline unchanged."""
-
-    @pytest.fixture(scope="class")
-    def experiment(self, tmp_path_factory):
-        from mba_tpu.acquisition.experiment import (
-            ExperimentConfig, start_experiment_processes)
-        root = tmp_path_factory.mktemp("interop")
-        # real time scale: the reference's hardcoded timing constants
-        # (6 s RMSE end-delay, 3.25 s latency, 2 s cutoff) need real-
-        # length trials; 20 s trials keep the test under a minute
-        cfg = ExperimentConfig(
-            subject_id=0, output_dir=root, trial_duration_sec=20.0,
-            n_trials_per_category=1, categories=["Familiar Happy"],
-            n_silence_trials=1, task_frequencies_hz=[0.5],
-            mvc_calibration_sec=3.0, dummy_mode=True)
-        start_experiment_processes(cfg, time_scale=1.0)
-        return root / "subject_00"
 
     def test_experiment_log_loads(self, ref, experiment):
         raw = ref.integration.fetch_experiment_log(experiment)
