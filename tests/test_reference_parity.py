@@ -831,3 +831,18 @@ class TestTaskWiseCmcOrchestratorParity:
                                    np.asarray(r_lo), atol=5e-3)
         np.testing.assert_allclose(np.asarray(m_hi),
                                    np.asarray(r_hi), atol=5e-3)
+
+
+class TestEnrichedSerialFrameInterop:
+    def test_our_builder_feeds_reference_fetcher(self, ref, experiment):
+        from mba_tpu.workflows.data_integration_workflow import (
+            integrate_subject)
+        from mba_tpu.workflows.subject_feature_extraction_workflow \
+            import build_enriched_serial_frame
+        integrate_subject(0, experiment.parent, validate=False)
+        ours = build_enriched_serial_frame(experiment)
+        got = ref.integration.fetch_enriched_serial_frame(experiment)
+        assert {"bpm", "hrv", "Task-wise Scaled Force"} <= \
+            set(got.columns)
+        assert len(got) == len(ours)
+        assert isinstance(got.index, pd.DatetimeIndex)
