@@ -251,3 +251,45 @@ class TestOtb4Novecento:
         expected = raw * adc_range / 2 ** bits * 1000.0 / gain
         np.testing.assert_allclose(data, expected.astype(np.float32),
                                    rtol=1e-6)
+
+
+class TestDecorators:
+    def test_retry_decorator_recovers(self):
+        from mba_tpu.utils.function_decorators import retry_decorator
+        calls = {"n": 0}
+
+        @retry_decorator(n_retries=3, delay_sec=0.0, verbose=False)
+        def flaky():
+            calls["n"] += 1
+            if calls["n"] < 3:
+                raise ConnectionError("transient")
+            return "ok"
+
+        assert flaky() == "ok"
+        assert calls["n"] == 3
+
+    def test_retry_decorator_exhausts(self):
+        from mba_tpu.utils.function_decorators import retry_decorator
+
+        @retry_decorator(n_retries=2, delay_sec=0.0, verbose=False)
+        def always_fails():
+            raise ValueError("permanent")
+
+        with pytest.raises(ValueError, match="permanent"):
+            always_fails()
+
+    def test_timed_callback_heartbeats(self, capsys):
+        import time as _time
+        from mba_tpu.utils.function_decorators import (
+            timed_callback_decorator)
+
+        @timed_callback_decorator(initial_interval_sec=0.02,
+                                  label="worker")
+        def work():
+            return 42
+
+        assert work() == 42                 # first call: starts clock
+        _time.sleep(0.05)
+        assert work() == 42                 # past interval: heartbeat
+        out = capsys.readouterr().out
+        assert "[heartbeat] worker" in out
