@@ -152,12 +152,25 @@ def load_audio_file(file_path, duration: float | None = 120.0
         if duration is not None:
             n_frames = min(n_frames, int(duration * sr))
         raw = wav.readframes(n_frames)
-    dtype = {1: np.uint8, 2: np.int16, 4: np.int32}[sampwidth]
-    y = np.frombuffer(raw, dtype=dtype).astype(np.float32)
-    if sampwidth == 1:
-        y = (y - 128.0) / 128.0
+    if sampwidth == 3:
+        # 24-bit PCM: sign-extend into int32 (no native numpy dtype)
+        b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+        y = (b[:, 0].astype(np.int32)
+             | (b[:, 1].astype(np.int32) << 8)
+             | (b[:, 2].astype(np.int32) << 16))
+        y = np.where(y >= 1 << 23, y - (1 << 24), y).astype(np.float32)
+        y = y / float(1 << 23)
     else:
-        y = y / float(2 ** (8 * sampwidth - 1))
+        try:
+            dtype = {1: np.uint8, 2: np.int16, 4: np.int32}[sampwidth]
+        except KeyError:
+            raise ValueError(f"Unsupported WAV sample width: "
+                             f"{sampwidth} bytes")
+        y = np.frombuffer(raw, dtype=dtype).astype(np.float32)
+        if sampwidth == 1:
+            y = (y - 128.0) / 128.0
+        else:
+            y = y / float(2 ** (8 * sampwidth - 1))
     if n_channels > 1:
         y = y.reshape(-1, n_channels).mean(axis=1)
     return y, sr

@@ -219,3 +219,55 @@ class TestSpotifyController:
         assert ctl.play_next_from("Unknown") is None
         info = ctl.get_current_track()
         assert info["Title"] is None  # no-op mode
+
+
+class TestWavFormats:
+    def _write(self, path, y, sr, sampwidth, n_channels=1):
+        import wave as _wave
+        with _wave.open(str(path), "wb") as w:
+            w.setnchannels(n_channels)
+            w.setsampwidth(sampwidth)
+            w.setframerate(sr)
+            if sampwidth == 1:
+                data = ((np.clip(y, -1, 1) * 127) + 128).astype(
+                    np.uint8).tobytes()
+            elif sampwidth == 2:
+                data = (np.clip(y, -1, 1) * 32767).astype(
+                    np.int16).tobytes()
+            elif sampwidth == 3:
+                v = (np.clip(y, -1, 1) * ((1 << 23) - 1)).astype(
+                    np.int32)
+                v = np.where(v < 0, v + (1 << 24), v).astype(np.uint32)
+                b = np.zeros((len(v), 3), np.uint8)
+                b[:, 0] = v & 0xFF
+                b[:, 1] = (v >> 8) & 0xFF
+                b[:, 2] = (v >> 16) & 0xFF
+                data = b.tobytes()
+            else:
+                data = (np.clip(y, -1, 1) * (2 ** 31 - 1)).astype(
+                    np.int32).tobytes()
+            w.writeframes(data)
+
+    @pytest.mark.parametrize("sampwidth", [1, 2, 3, 4])
+    def test_bit_depths_roundtrip(self, tmp_path, sampwidth):
+        sr = 8000
+        t = np.arange(sr) / sr
+        y = 0.5 * np.sin(2 * np.pi * 440 * t)
+        p = tmp_path / f"tone{sampwidth}.wav"
+        self._write(p, y, sr, sampwidth)
+        got, got_sr = mc.load_audio_file(p, duration=None)
+        assert got_sr == sr and len(got) == len(y)
+        tol = {1: 2e-2, 2: 1e-3, 3: 1e-5, 4: 1e-6}[sampwidth]
+        np.testing.assert_allclose(got, y, atol=tol)
+
+    def test_stereo_downmix(self, tmp_path):
+        sr = 8000
+        t = np.arange(sr) / sr
+        left = 0.8 * np.sin(2 * np.pi * 220 * t)
+        right = np.zeros_like(left)
+        inter = np.empty(2 * len(left))
+        inter[0::2], inter[1::2] = left, right
+        p = tmp_path / "stereo.wav"
+        self._write(p, inter, sr, 2, n_channels=2)
+        got, _ = mc.load_audio_file(p, duration=None)
+        np.testing.assert_allclose(got, left / 2, atol=1e-3)
