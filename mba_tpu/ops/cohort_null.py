@@ -1,0 +1,394 @@
+"""Full-cohort 10k-surrogate MSC null via exact algebraic taper rotation.
+
+The north-star workload (BASELINE.md) is the *full-cohort* 64×64 CMC null:
+12 subjects × task windows × 64 EEG × 64 EMG channels with a 10 000-surrogate
+null distribution of the cohort statistic, under 60 s on a v5e-8.
+
+A naive phase-randomised null (ops/surrogate.py:205, the single-pair engine)
+resynthesises a surrogate EMG signal per draw (irfft), reframes it, and
+redoes the taper FFTs and the 64×64 cross-spectral outer products — roughly
+10 GFLOP × 12 subjects × 10 000 surrogates ≈ 1 EFLOP.  No amount of
+sharding closes that budget.
+
+TPU-first reformulation (exact, not approximate)
+------------------------------------------------
+Write the per-window multitaper MSC at frequency f for pair (e, m) as
+
+    MSC_w = |Σ_k conj(E_kw) M_kw|² / (Σ_k |E_kw|² · Σ_k |M_kw|²)
+
+with E_kw / M_kw the taper-k windowed spectra.  The surrogate operation is a
+*per-taper phase rotation* of the EMG spectra, M_kw → M_kw · e^{iφ_k(f)},
+with φ drawn iid uniform per (taper, frequency, subject, surrogate) and
+shared across windows and EMG channels.  Under H0 (independent stationary
+processes) the taper coefficients have iid uniform phases, so this rotation
+is distribution-preserving — the same asymptotic argument that underpins
+classic FFT phase randomisation and the analytic Beta(K−2, K−2) null
+(reference signal_features.py:470-481).  Sharing the rotation across windows
+and channels *preserves* the window-to-window and channel-to-channel
+covariance of the null field, which the max statistic depends on.
+
+The payoff is algebraic: with z_kw = conj(E_kw) M_kw / den_w,
+
+    stat(φ) = mean_w |Σ_k z_kw e^{iφ_k}|²
+            = Σ_k C_kk  +  Σ_{k<l} [ cosΔ_kl · 2Re C_kl − sinΔ_kl · 2Im C_kl ]
+
+where C_kl = mean_w z_kw conj(z_lw) is a **precomputed** (K, K) tensor per
+(frequency, EEG, EMG) cell and Δ_kl = φ_k − φ_l.  Every surrogate is then a
+*dot product of length K(K−1)* against trig features of the phases — no FFT,
+no resynthesis.  The whole 10k-surrogate cohort null becomes a handful of
+batched matmuls with contraction dim J·K(K−1) (= 240 for 12 subjects, K=5),
+ideal MXU shape, ~3.4 PFLOP total at the north-star scale — seconds, not
+hours.
+
+The identity is exact (tested to float32 tolerance against a direct
+rotate-then-recompute evaluation in tests/test_cohort_null.py), and the
+null it draws is validated against (a) fresh-draw Monte-Carlo ground truth
+and (b) the classic full-FFT phase-randomisation engine.
+
+Statistical note: because the rotation is shared across windows, the null
+conditions on the observed window-to-window phase consistency.  Under H0
+that consistency is noise-level and the null matches fresh-draw ground
+truth (tested); under a strong true coupling the null widens (it does not
+enjoy the 1/W variance shrinkage a per-window randomisation would give),
+making the test *conservative* in the alternative — detection of real
+coupling still stands out by construction since the observed statistic
+contains the coherent sum the rotations destroy.
+
+Cohort statistic: mean over subjects of the per-subject window-averaged MSC
+map, maximised over the analysis band × all pairs (FWE max statistic), with
+per-cell uncorrected empirical p-values accumulated on-line.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mba_tpu.ops.dpss import filtered_tapers
+from mba_tpu.ops.framing import frame_signal, window_grid
+
+_F32_TINY = np.float32(np.finfo(np.float32).tiny)
+
+
+def _pair_indices(K: int) -> tuple[np.ndarray, np.ndarray]:
+    """Upper-triangle (k < l) index pairs for the rotation features."""
+    ks, ls = np.triu_indices(K, k=1)
+    return ks.astype(np.int32), ls.astype(np.int32)
+
+
+def phase_features(phi: jnp.ndarray) -> jnp.ndarray:
+    """Rotation-phase trig features.
+
+    phi: (..., K, F) → (..., F, P) with P = K(K−1):
+    ``[cos(φ_k−φ_l)]_{k<l} ++ [sin(φ_k−φ_l)]_{k<l}`` — the observed
+    statistic corresponds to φ = 0, i.e. features ``[1…1, 0…0]``.
+    """
+    K = phi.shape[-2]
+    ks, ls = _pair_indices(K)
+    c, s = jnp.cos(phi), jnp.sin(phi)
+    # cos(a−b) = ca·cb + sa·sb ; sin(a−b) = sa·cb − ca·sb
+    cos_d = (c[..., ks, :] * c[..., ls, :]
+             + s[..., ks, :] * s[..., ls, :])          # (..., P/2, F)
+    sin_d = (s[..., ks, :] * c[..., ls, :]
+             - c[..., ks, :] * s[..., ls, :])
+    feats = jnp.concatenate([cos_d, sin_d], axis=-2)   # (..., P, F)
+    return jnp.moveaxis(feats, -2, -1)                 # (..., F, P)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("window_samples", "band_lo", "band_hi",
+                                    "window_chunk"))
+def _subject_rotation_coeffs(eeg, emg, starts, weights, tapers,
+                             window_samples: int, band_lo: int, band_hi: int,
+                             window_chunk: int):
+    """Per-subject rotation-null coefficients.
+
+    Returns (base, coef):
+      base : (F, E, M) f32 — Σ_k Re C_kk   (the rotation-invariant part)
+      coef : (F, E, M, P) f32 — [2Re C_kl]_{k<l} ++ [−2Im C_kl]_{k<l}
+    such that ``stat(φ) = base + feats(φ) · coef`` exactly equals the
+    weighted window-mean MSC with taper-rotated EMG spectra.
+    """
+    K = tapers.shape[0]
+    ks, ls = _pair_indices(K)
+    pad = (-starts.shape[0]) % window_chunk
+    if pad:                       # shapes are static at trace time
+        starts = jnp.concatenate([starts, jnp.tile(starts[:1], pad)])
+        weights = jnp.concatenate([weights, jnp.zeros(pad, weights.dtype)])
+    starts_c = starts.reshape((-1, window_chunk))
+    weights_c = weights.reshape((-1, window_chunk))
+
+    nF = band_hi - band_lo
+    nE = eeg.shape[1]
+    nM = emg.shape[1]
+
+    def body(carry, cw):
+        cs, wts = cw
+        ef = frame_signal(eeg, cs, window_samples)        # (wc, S, E)
+        mf = frame_signal(emg, cs, window_samples)        # (wc, S, M)
+        Ef = jnp.fft.rfft(ef[:, None] * tapers[None, :, :, None],
+                          axis=2)[:, :, band_lo:band_hi]  # (wc, K, F, E)
+        Mf = jnp.fft.rfft(mf[:, None] * tapers[None, :, :, None],
+                          axis=2)[:, :, band_lo:band_hi]  # (wc, K, F, M)
+        pe = (Ef.real ** 2 + Ef.imag ** 2).sum(axis=1)    # (wc, F, E)
+        pm = (Mf.real ** 2 + Mf.imag ** 2).sum(axis=1)    # (wc, F, M)
+        den = jnp.maximum(pe[..., :, None] * pm[..., None, :], _F32_TINY)
+        scale = jnp.sqrt(wts[:, None, None, None] / den)  # (wc, F, E, M)
+        # y_k = conj(E_k) M_k · sqrt(w/den):  C_kl = Σ_w y_k conj(y_l)
+        y = (jnp.conj(Ef)[..., :, None] * Mf[..., None, :]
+             ) * scale[:, None]                           # (wc, K, F, E, M)
+        C = jnp.einsum("wkfem,wlfem->klfem", y, jnp.conj(y))
+        return carry + C, None
+
+    C0 = jnp.zeros((K, K, nF, nE, nM), jnp.complex64)
+    C, _ = jax.lax.scan(body, C0, (starts_c, weights_c))
+    C = C / jnp.maximum(weights.sum(), _F32_TINY)
+
+    base = jnp.einsum("kkfem->fem", C.real)
+    coef = jnp.concatenate([2.0 * C.real[ks, ls],
+                            -2.0 * C.imag[ks, ls]], axis=0)  # (P, F, E, M)
+    return base.astype(jnp.float32), \
+        jnp.moveaxis(coef, 0, -1).astype(jnp.float32)        # (F, E, M, P)
+
+
+def _null_chunk_core(key, coef_all, base_cohort, observed, counts,
+                     n_chunk: int, K: int, compute_dtype):
+    """One chunk of surrogates against precomputed rotation coefficients.
+
+    coef_all: (J, F, N, P) with N = E·M flattened; base_cohort/observed:
+    (F, N).  Returns (max_stat (n_chunk,), counts + per-cell exceedances).
+    """
+    J, nF, nN, P = coef_all.shape
+    phi = jax.random.uniform(key, (J, n_chunk, K, nF),
+                             minval=0.0, maxval=2.0 * np.pi)
+    G = phase_features(phi)                                # (J, S, F, P)
+    # cohort mean over subjects folds into the contraction: batch dim f,
+    # contraction dims (j, p) → inner dim J·P (≥ 240 at study scale: MXU).
+    stat = jax.lax.dot_general(
+        G.astype(compute_dtype), coef_all.astype(compute_dtype),
+        dimension_numbers=(((0, 3), (0, 3)), ((2,), (1,))),
+        preferred_element_type=jnp.float32)                # (F, S, N)
+    stat = base_cohort[:, None, :] + stat / J
+    max_stat = stat.max(axis=(0, 2))                       # (S,)
+    counts = counts + (stat >= observed[:, None, :]).sum(axis=1)
+    return max_stat, counts
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_chunk", "K", "compute_dtype"),
+                   donate_argnums=(4,))
+def _null_chunk_jit(key, coef_all, base_cohort, observed, counts,
+                    n_chunk, K, compute_dtype):
+    return _null_chunk_core(key, coef_all, base_cohort, observed, counts,
+                            n_chunk, K, compute_dtype)
+
+
+def _make_sharded_chunk(mesh, n_chunk: int, K: int, compute_dtype):
+    """shard_map variant: surrogates split over every device in the mesh.
+
+    Inputs are replicated except the per-device keys; per-cell exceedance
+    counts are psum-reduced over the surrogate axis, max stats gathered.
+    """
+    from jax.sharding import Mesh, PartitionSpec as P
+    from jax import shard_map
+
+    flat = Mesh(mesh.devices.reshape(-1), ("surr",))
+    n_dev = flat.devices.size
+
+    def per_device(keys, coef_all, base_cohort, observed, counts):
+        # accumulate the *increment* locally, psum it, then add to the
+        # replicated running counts (psum-ing counts directly would scale
+        # the carried-over total by n_devices).
+        ms, inc = _null_chunk_core(keys[0], coef_all, base_cohort,
+                                   observed, jnp.zeros_like(counts),
+                                   n_chunk, K, compute_dtype)
+        return ms, counts + jax.lax.psum(inc, "surr")
+
+    fn = shard_map(per_device, mesh=flat,
+                   in_specs=(P("surr"), P(), P(), P(), P()),
+                   out_specs=(P("surr"), P()))
+    return jax.jit(fn), flat, n_dev
+
+
+def cohort_msc_rotation_null(
+        eeg_cohort,
+        emg_cohort,
+        sampling_freq: float,
+        n_surrogates: int = 10_000,
+        nw: float = 3,
+        window_length_sec: float = 2.0,
+        overlap_frac: float = 0.5,
+        taper_eigenvalue_threshold: float = 0.90,
+        band: tuple[float, float] = (13.0, 100.0),
+        quantiles=(0.95, 0.99),
+        surrogate_chunk: int = 256,
+        window_chunk: int = 8,
+        seed: int = 0,
+        compute_dtype=None,
+        mesh=None,
+        window_starts=None,
+        window_weights=None,
+        verbose: bool = False,
+) -> dict:
+    """Cohort-level FWE-corrected MSC surrogate null (see module docstring).
+
+    Parameters
+    ----------
+    eeg_cohort, emg_cohort : (J, n_samples, E) / (J, n_samples, M) arrays.
+    band : analysis band in Hz over which the null/max statistic is taken
+        (DC and Nyquist are always excluded — a phase rotation of a real
+        coefficient is not distribution-preserving there).
+    compute_dtype : dtype of the contraction inputs.  Default bfloat16 on
+        TPU (f32 accumulation via ``preferred_element_type``), float32
+        elsewhere.  bf16 perturbs null draws by ~0.4 % relative — far below
+        Monte-Carlo noise at any practical ``n_surrogates``.
+    mesh : optional ``jax.sharding.Mesh`` — surrogates are sharded over all
+        its devices (embarrassingly parallel; one psum on the per-cell
+        exceedance counts).
+    window_starts / window_weights : optional (J, W) per-subject window
+        starts (sample index) and weights (e.g. a task mask as 0/1 floats).
+        Default: the full "cmc"-convention grid, all weight 1.
+
+    Returns
+    -------
+    dict with
+      observed       : (F, E, M) cohort-mean window-averaged MSC (band bins)
+      freqs          : (F,) band frequencies
+      max_stat       : (n_surrogates,) null of the cohort max statistic
+      null_quantiles : {q: scalar FWE threshold}
+      p_uncorrected  : (F, E, M) per-cell empirical p of the observed map
+      p_fwe          : scalar FWE p of the observed max statistic
+      metadata
+    """
+    eeg = np.asarray(eeg_cohort, np.float32)
+    emg = np.asarray(emg_cohort, np.float32)
+    if eeg.ndim != 3 or emg.ndim != 3:
+        raise ValueError("cohort arrays must be (J, n_samples, n_channels)")
+    if eeg.shape[:2] != emg.shape[:2]:
+        raise ValueError("EEG/EMG cohorts must share (J, n_samples)")
+    J, n_samples, nE = eeg.shape
+    nM = emg.shape[2]
+
+    window_samples = int(window_length_sec * sampling_freq)
+    hop = int(window_samples * (1 - overlap_frac))
+    tapers = filtered_tapers(window_samples, nw, taper_eigenvalue_threshold)
+    K = int(tapers.shape[0])
+    if K < 2:
+        raise ValueError("rotation null requires at least 2 tapers")
+
+    freqs_all = np.fft.rfftfreq(window_samples, d=1.0 / sampling_freq)
+    lo = int(np.searchsorted(freqs_all, band[0], side="left"))
+    hi = int(np.searchsorted(freqs_all, band[1], side="right"))
+    lo = max(lo, 1)                                   # never DC
+    hi = min(hi, len(freqs_all) - (1 if window_samples % 2 == 0 else 0))
+    if hi <= lo:
+        raise ValueError(f"band {band} selects no frequency bins")
+    freqs = freqs_all[lo:hi]
+    nF = hi - lo
+
+    if window_starts is None:
+        starts, _ = window_grid(n_samples, window_samples, hop,
+                                sampling_freq, convention="cmc")
+        window_starts = np.tile(starts[None], (J, 1))
+    window_starts = np.asarray(window_starts, np.int64)
+    if window_weights is None:
+        window_weights = np.ones(window_starts.shape, np.float32)
+    window_weights = np.asarray(window_weights, np.float32)
+    W = window_starts.shape[1]
+    wc = int(min(window_chunk, W))   # chunk-padding happens inside the jit
+
+    if compute_dtype is None:
+        plat = jax.devices()[0].platform
+        compute_dtype = jnp.bfloat16 if plat in ("tpu", "axon") \
+            else jnp.float32
+
+    tapers_j = jnp.asarray(tapers, jnp.float32)
+    # ---- precompute per-subject rotation coefficients (device-resident) --
+    bases, coefs = [], []
+    for j in range(J):
+        b, c = _subject_rotation_coeffs(
+            jnp.asarray(eeg[j]), jnp.asarray(emg[j]),
+            jnp.asarray(window_starts[j], jnp.int32),
+            jnp.asarray(window_weights[j]), tapers_j,
+            window_samples, lo, hi, wc)
+        bases.append(b)
+        coefs.append(c.reshape(nF, nE * nM, -1))
+    base_cohort = sum(bases) / J                      # (F, E, M)
+    coef_all = jnp.stack(coefs)                       # (J, F, N, P)
+    del bases, coefs
+    P_feats = coef_all.shape[-1]
+    base_flat = base_cohort.reshape(nF, nE * nM)
+    # observed = stat at φ = 0: cos features 1, sin features 0
+    observed_flat = base_flat + coef_all[..., :P_feats // 2].sum(
+        axis=-1).mean(axis=0)
+    observed = np.asarray(observed_flat).reshape(nF, nE, nM)
+
+    if verbose:
+        gB = coef_all.size * 4 / 1e9
+        print(f"[rotation-null] J={J} K={K} F={nF} pairs={nE}x{nM} "
+              f"P={P_feats} coef tensor {gB:.2f} GB, "
+              f"{n_surrogates} surrogates in chunks of {surrogate_chunk}")
+
+    # ---- surrogate chunks ------------------------------------------------
+    counts = jnp.zeros((nF, nE * nM), jnp.int32)
+    chunk = int(min(surrogate_chunk, n_surrogates))
+    key = jax.random.PRNGKey(seed)
+    max_stats = []
+    n_total = 0
+    if mesh is not None:
+        step, flat_mesh, n_dev = _make_sharded_chunk(
+            mesh, chunk, K, compute_dtype)
+        from jax.sharding import NamedSharding, PartitionSpec as Pspec
+        key_shard = NamedSharding(flat_mesh, Pspec("surr"))
+        rep = NamedSharding(flat_mesh, Pspec())
+        coef_all = jax.device_put(coef_all, rep)
+        base_flat_d = jax.device_put(base_flat, rep)
+        obs_d = jax.device_put(observed_flat, rep)
+        counts = jax.device_put(counts, rep)
+        while n_total < n_surrogates:
+            key, sub = jax.random.split(key)
+            keys = jax.device_put(jax.random.split(sub, n_dev), key_shard)
+            ms, counts = step(keys, coef_all, base_flat_d, obs_d, counts)
+            max_stats.append(np.asarray(ms))
+            n_total += n_dev * chunk
+    else:
+        while n_total < n_surrogates:
+            key, sub = jax.random.split(key)
+            ms, counts = _null_chunk_jit(sub, coef_all, base_flat,
+                                         observed_flat, counts, chunk, K,
+                                         compute_dtype)
+            max_stats.append(np.asarray(ms))
+            n_total += chunk
+
+    # surplus draws in the last chunk are equally valid null samples; the
+    # per-cell counts are normalised by the true total (same convention as
+    # ops/surrogate.py msc_phase_randomized_null).
+    max_stat = np.concatenate(max_stats)[:n_surrogates]
+    counts_np = np.asarray(counts).reshape(nF, nE, nM)
+    p_unc = (1.0 + counts_np) / (1.0 + n_total)
+    p_fwe = float((1.0 + (max_stat >= observed.max()).sum())
+                  / (1.0 + len(max_stat)))
+
+    return {
+        "observed": observed,
+        "freqs": freqs,
+        "max_stat": max_stat,
+        "null_quantiles": {q: float(np.quantile(max_stat, q))
+                           for q in quantiles},
+        "p_uncorrected": p_unc.astype(np.float32),
+        "p_fwe": p_fwe,
+        "metadata": {
+            "method": "taper_rotation",
+            "K_tapers": K,
+            "n_surrogates_drawn": int(n_total),
+            "n_surrogates": int(n_surrogates),
+            "band": tuple(band),
+            "band_bins": (lo, hi),
+            "n_subjects": J,
+            "compute_dtype": jnp.dtype(compute_dtype).name,
+            "contraction_flops": float(2 * n_total * nF * nE * nM
+                                       * J * P_feats),
+        },
+    }
