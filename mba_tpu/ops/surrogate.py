@@ -187,6 +187,38 @@ def _hist_accumulate_jit(spectra, hist_in, n_cells, n_bins):
     return hist_in + jnp.bincount(flat, length=n_cells * n_bins)
 
 
+def _make_sharded_null_step(mesh, window_samples: int, chunk: int,
+                            n_cells: int, n_bins: int,
+                            max_stat_only: bool):
+    """shard_map step: surrogate chunks split over every mesh device.
+
+    Same chunk kernel (``_surrogate_chunk_jit``) and histogram accumulator
+    as the single-device loop — one engine, one code path; the per-cell
+    histogram increment is psum-reduced over the surrogate axis.
+    """
+    from jax.sharding import Mesh as _Mesh, PartitionSpec as _P
+    from jax import shard_map as _shard_map
+
+    flat = _Mesh(mesh.devices.reshape(-1), ("surr",))
+    n_dev = flat.devices.size
+
+    def per_device(keys, eeg_frames, emg, starts, tapers, inv, hist):
+        spectra = _surrogate_chunk_jit(keys[0], eeg_frames, emg, starts,
+                                       tapers, inv, window_samples, chunk)
+        ms = spectra.max(axis=(1, 2, 3))
+        if max_stat_only:
+            return ms, hist
+        inc = _hist_accumulate_jit(spectra, jnp.zeros_like(hist),
+                                   n_cells, n_bins)
+        return ms, hist + jax.lax.psum(inc, "surr")
+
+    fn = _shard_map(per_device, mesh=flat,
+                    in_specs=(_P("surr"), _P(), _P(), _P(), _P(), _P(),
+                              _P()),
+                    out_specs=(_P("surr"), _P()))
+    return jax.jit(fn), flat, n_dev
+
+
 def _msc_spectrum_mean(eeg_frames, emg_frames, tapers, inv_fs_n):
     """Window-averaged MSC spectrum: (W,S,E),(W,S,M) → (F, E, M)."""
     K = tapers.shape[0]
@@ -215,6 +247,7 @@ def msc_phase_randomized_null(
         surrogate_chunk: int = 64,
         seed: int = 0,
         max_stat_only: bool = False,
+        mesh=None,
 ) -> dict:
     """Phase-randomised coherence null thresholds.
 
@@ -222,6 +255,11 @@ def msc_phase_randomized_null(
     kept fixed — randomising one side suffices to break cross-coherence),
     the full window-averaged MSC spectrum is computed, and per-frequency
     (and global-max) null statistics are accumulated on-line.
+
+    ``mesh``: optional ``jax.sharding.Mesh`` — the surrogate axis is split
+    over every device in the mesh (each draws its own chunk; the per-cell
+    histogram is psum-reduced), running the identical chunk kernel as the
+    single-device path.
 
     Returns dict with:
       - ``null_quantiles``: {q: (F, E, M) array} per-frequency-pair
@@ -269,19 +307,45 @@ def msc_phase_randomized_null(
     chunk = int(min(surrogate_chunk, n_surrogates))
     n_hist_total = 0
     done = 0
-    while done < n_surrogates:
-        key, sub = jax.random.split(key)
-        spectra = _surrogate_chunk_jit(sub, eeg_frames, emg_j, starts_j,
-                                       tapers, inv_fs_n, window_samples,
-                                       chunk)
-        take = min(chunk, n_surrogates - done)
-        max_stats.append(np.asarray(spectra.max(axis=(1, 2, 3)))[:take])
-        if not max_stat_only:
-            if hist is None:
-                hist = jnp.zeros(n_cells * n_bins, dtype=jnp.int32)
-            hist = _hist_accumulate_jit(spectra, hist, n_cells, n_bins)
-            n_hist_total += chunk
-        done += take
+    if mesh is not None:
+        step, flat_mesh, n_dev = _make_sharded_null_step(
+            mesh, window_samples, chunk, n_cells, n_bins, max_stat_only)
+        from jax.sharding import NamedSharding, PartitionSpec as _P
+        rep = NamedSharding(flat_mesh, _P())
+        key_shard = NamedSharding(flat_mesh, _P("surr"))
+        eeg_frames = jax.device_put(eeg_frames, rep)
+        emg_j = jax.device_put(emg_j, rep)
+        starts_d = jax.device_put(starts_j, rep)
+        tapers_d = jax.device_put(tapers, rep)
+        hist = jax.device_put(
+            jnp.zeros(1 if max_stat_only else n_cells * n_bins,
+                      jnp.int32), rep)
+        inv_d = jax.device_put(jnp.float32(inv_fs_n), rep)
+        while done < n_surrogates:
+            key, sub = jax.random.split(key)
+            keys = jax.device_put(jax.random.split(sub, n_dev), key_shard)
+            ms, hist = step(keys, eeg_frames, emg_j, starts_d, tapers_d,
+                            inv_d, hist)
+            take = min(n_dev * chunk, n_surrogates - done)
+            max_stats.append(np.asarray(ms)[:take])
+            n_hist_total += n_dev * chunk
+            done += take
+        if max_stat_only:
+            hist = None
+    else:
+        while done < n_surrogates:
+            key, sub = jax.random.split(key)
+            spectra = _surrogate_chunk_jit(sub, eeg_frames, emg_j,
+                                           starts_j, tapers, inv_fs_n,
+                                           window_samples, chunk)
+            take = min(chunk, n_surrogates - done)
+            max_stats.append(np.asarray(spectra.max(axis=(1, 2, 3)))[:take])
+            if not max_stat_only:
+                if hist is None:
+                    hist = jnp.zeros(n_cells * n_bins, dtype=jnp.int32)
+                hist = _hist_accumulate_jit(spectra, hist, n_cells, n_bins)
+                n_hist_total += chunk
+            done += take
 
     max_stat = np.concatenate(max_stats)
     result = {"max_stat": max_stat, "observed": observed, "freqs": freqs,

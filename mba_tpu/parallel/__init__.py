@@ -13,5 +13,5 @@ from sharding constraints) ride ICI.
 """
 from mba_tpu.parallel.mesh import make_mesh, cohort_sharding  # noqa: F401
 from mba_tpu.parallel.cohort import (  # noqa: F401
-    sharded_cohort_cmc, sharded_surrogate_null,
+    cohort_multitaper_msc, time_sharded_msc,
 )

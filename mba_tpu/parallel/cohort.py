@@ -1,100 +1,326 @@
-"""Cohort-scale sharded CMC and surrogate-null computation.
+"""Mesh-native cohort orchestration of the PRODUCTION CMC engine.
 
-The reference loops subjects sequentially
-(subject_feature_extraction_workflow.py:37) and permutations via joblib
-(cbpa.py:1027-1042).  Here the cohort is a leading array axis sharded over
-the ``subjects`` mesh axis and windows are sharded over the ``windows`` mesh
-axis; XLA inserts the collectives for the cohort reductions.
+Round-1 shipped a separate toy kernel for the multi-chip path; this module
+retires it (VERDICT.md round-1 item 3): the functions here run the *same*
+device program as the single-chip orchestrator — ``_msc_all_windows`` with
+its masking, ``lax.map`` window chunking and Pallas epilogue — under
+``shard_map`` over a ``('subjects', 'windows')`` mesh, so sharded and
+unsharded results are identical by construction (asserted in
+tests/test_parallel.py).
+
+Reference mapping: the reference loops subjects sequentially
+(subject_feature_extraction_workflow.py:37) and parallelises permutations
+via joblib (cbpa.py:1027-1042); here subjects and windows are mesh axes and
+XLA collectives (one psum for the cohort mean) ride ICI.
+
+Three entry points:
+
+- :func:`cohort_multitaper_msc` — per-subject full CMC result dicts +
+  cohort-mean coherence, subjects × windows sharded.
+- :func:`time_sharded_msc` — ONE recording whose time axis exceeds a single
+  chip's HBM, sharded along time with a (window − hop)-sample halo exchange
+  (``ppermute``) so every sliding window is computed exactly once
+  (SURVEY.md §5 "long-context" equivalent).
+- the surrogate-null mesh path lives with its engine:
+  ``ops.surrogate.msc_phase_randomized_null(mesh=...)`` and
+  ``ops.cohort_null.cohort_msc_rotation_null(mesh=...)`` shard the
+  surrogate axis over all devices — one engine, one code path.
 """
 from __future__ import annotations
 
-import functools
+import math
 
 import numpy as np
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
 
-from mba_tpu.ops.coherence import _msc_chunk_kernel
-from mba_tpu.ops.surrogate import phase_randomize, _msc_spectrum_mean
-from mba_tpu.ops.framing import frame_signal
+from mba_tpu.ops.coherence import (_auto_chunk, _msc_all_windows,
+                                   _pallas_available)
+from mba_tpu.ops.dpss import (filtered_tapers,
+                              cmc_independence_threshold_host)
+from mba_tpu.ops.framing import window_grid
+from scipy.stats import t as _t_dist
 
 
-def sharded_cohort_cmc(mesh: Mesh,
-                       eeg_frames: jnp.ndarray,
-                       emg_frames: jnp.ndarray,
-                       tapers: np.ndarray,
-                       inv_fs_n: float,
-                       t_crit: float,
-                       use_jackknife: bool = True,
-                       aggregate_emg_max: bool = True):
-    """Per-subject CMC + cohort-mean coherence on a device mesh.
+def _mesh_axis(mesh: Mesh, name: str) -> int:
+    return int(mesh.shape.get(name, 1))
 
-    eeg_frames: (n_subjects, n_windows, window_samples, n_eeg)
-    emg_frames: (n_subjects, n_windows, window_samples, n_emg)
 
-    Sharded over ('subjects', 'windows'); the per-window kernel needs no
-    halo (windows are pre-framed), so the only collective is the cohort-mean
-    ``psum`` XLA derives from the output sharding.
+def cohort_multitaper_msc(
+        mesh: Mesh,
+        eeg_cohort,
+        emg_cohort,
+        sampling_freq: float,
+        nw: float = 3,
+        window_length_sec: float = 1.0,
+        overlap_frac: float = 0.5,
+        taper_eigenvalue_threshold: float = 0.90,
+        use_jackknife: bool = True,
+        jackknife_alpha: float = 0.05,
+        window_masks: np.ndarray | None = None,
+        aggregate_emg_max: bool = False,
+        window_chunk: int | None = None,
+) -> dict:
+    """Cohort CMC: the production orchestrator under a device mesh.
+
+    eeg_cohort (J, n, E) / emg_cohort (J, n, M); optional per-subject
+    boolean ``window_masks`` (J, W) on the global "cmc" grid — masked-out
+    windows are zeros in the output, exactly as
+    ``ops.coherence.multitaper_msc`` (same kernel, same compaction).
+
+    Returns the single-chip result dict with a leading subject axis plus
+    ``cohort_mean`` — the per-window cross-subject mean coherence, averaged
+    over the subjects whose mask includes each window.
     """
-    shard = NamedSharding(mesh, P("subjects", "windows"))
-    eeg_frames = jax.device_put(eeg_frames, shard)
-    emg_frames = jax.device_put(emg_frames, shard)
+    eeg = np.asarray(eeg_cohort, np.float32)
+    emg = np.asarray(emg_cohort, np.float32)
+    if eeg.ndim != 3 or emg.ndim != 3 or eeg.shape[:2] != emg.shape[:2]:
+        raise ValueError("cohort arrays must be (J, n_samples, n_channels) "
+                         "with matching (J, n_samples)")
+    J, n_samples, n_eeg = eeg.shape
+    n_emg = emg.shape[2]
+
+    window_samples = int(window_length_sec * sampling_freq)
+    hop = int(window_samples * (1 - overlap_frac))
+    if hop <= 0:
+        raise ValueError("overlap_frac too high: hop_samples becomes <= 0")
+    tapers = filtered_tapers(window_samples, nw, taper_eigenvalue_threshold)
+    K = int(tapers.shape[0])
+    if use_jackknife and K < 2:
+        raise ValueError("jackknife requires at least 2 tapers")
+    starts, time_centers = window_grid(
+        n_samples, window_samples, hop, sampling_freq, convention="cmc")
+    W = len(starts)
+    freqs = np.fft.rfftfreq(window_samples, d=1.0 / sampling_freq)
+
+    if window_masks is None:
+        actives = [np.arange(W)] * J
+    else:
+        window_masks = np.asarray(window_masks, bool)
+        if window_masks.shape != (J, W):
+            raise ValueError(f"window_masks must be (J, {W}), "
+                             f"got {window_masks.shape}")
+        actives = [np.nonzero(m)[0] for m in window_masks]
+
+    n_sub = _mesh_axis(mesh, "subjects")
+    n_win = _mesh_axis(mesh, "windows")
+    w_act_max = max((len(a) for a in actives), default=0)
+
+    t_crit = np.float32(_t_dist.ppf(1 - jackknife_alpha / 2, max(K - 1, 1)))
+    inv_fs_n = np.float32(1.0 / (sampling_freq * window_samples))
     tapers_j = jnp.asarray(tapers, jnp.float32)
 
-    @functools.partial(jax.jit,
-                       out_shardings=(shard, NamedSharding(mesh, P())))
-    def step(ef, mf):
-        per_subject = jax.vmap(
-            lambda e, m: _msc_chunk_kernel(
-                e, m, tapers_j, jnp.float32(inv_fs_n), jnp.float32(t_crit),
-                use_jackknife, aggregate_emg_max))(ef, mf)
-        coh = per_subject["coherence"]
-        cohort_mean = coh.mean(axis=0)      # cross-subject reduction (psum)
-        return coh, cohort_mean
+    tail = (freqs.shape[0], n_eeg) if aggregate_emg_max \
+        else (freqs.shape[0], n_eeg, n_emg)
+    keys = ["coherence"] + (["ci_lower", "ci_upper"] if use_jackknife
+                            else [])
+    full = {k: np.zeros((J, W) + tail, np.float32) for k in keys}
 
-    return step(eeg_frames, emg_frames)
+    if w_act_max > 0:
+        chunk = window_chunk or _auto_chunk(window_samples, K, n_eeg,
+                                            n_emg, use_jackknife)
+        chunk = int(min(chunk, math.ceil(w_act_max / n_win)))
+        w_pad = n_win * chunk * math.ceil(w_act_max / (n_win * chunk))
+        j_pad = n_sub * math.ceil(J / n_sub)
+
+        starts_pad = np.zeros((j_pad, w_pad), np.int32)
+        for j in range(j_pad):
+            act = actives[min(j, J - 1)]
+            fill = starts[act[0]] if len(act) else starts[0]
+            row = np.full(w_pad, fill, np.int64)
+            row[:len(act)] = starts[act]
+            starts_pad[j] = row
+        eeg_pad = np.concatenate(
+            [eeg, np.tile(eeg[-1:], (j_pad - J, 1, 1))]) if j_pad > J \
+            else eeg
+        emg_pad = np.concatenate(
+            [emg, np.tile(emg[-1:], (j_pad - J, 1, 1))]) if j_pad > J \
+            else emg
+
+        want_pallas = (use_jackknife and aggregate_emg_max
+                       and _pallas_available())
+
+        def run(use_pallas: bool):
+            def block(eb, mb, sb):
+                def one(e, m, s):
+                    return _msc_all_windows(
+                        e, m, s, tapers_j, inv_fs_n, t_crit,
+                        window_samples, chunk, use_jackknife,
+                        aggregate_emg_max, use_pallas=use_pallas)
+                return jax.vmap(one)(eb, mb, sb)
+
+            out_spec = {k: P("subjects", "windows") for k in keys}
+            fn = shard_map(
+                block, mesh=mesh,
+                in_specs=(P("subjects"), P("subjects"),
+                          P("subjects", "windows")),
+                out_specs=out_spec)
+            return jax.jit(fn)(jnp.asarray(eeg_pad), jnp.asarray(emg_pad),
+                               jnp.asarray(starts_pad))
+
+        if want_pallas:
+            try:
+                device_out = run(True)
+            except Exception as exc:   # Mosaic lowering/compile issue
+                print(f"[cohort_multitaper_msc] pallas epilogue failed "
+                      f"({type(exc).__name__}); falling back to XLA")
+                device_out = run(False)
+        else:
+            device_out = run(False)
+
+        compact = {k: np.asarray(v, np.float32)
+                   for k, v in device_out.items()}
+        for j in range(J):
+            act = actives[j]
+            for k in keys:
+                full[k][j][act] = compact[k][j, :len(act)]
+
+    # cross-subject mean over the subjects active in each window
+    counts = np.zeros(W, np.float32)
+    for act in actives:
+        counts[act] += 1.0
+    denom = np.maximum(counts, 1.0).reshape((W,) + (1,) * len(tail))
+    cohort_mean = full["coherence"].sum(axis=0) / denom
+
+    result = {
+        "coherence_raw": full["coherence"],
+        "cohort_mean": cohort_mean.astype(np.float32),
+        "time_centers": time_centers,
+        "freqs": freqs,
+        "metadata": {
+            "K_tapers": K,
+            "n_subjects": J,
+            "n_windows": W,
+            "window_length_sec": window_length_sec,
+            "overlap_frac": overlap_frac,
+            "use_jackknife": use_jackknife,
+            "mesh": dict(mesh.shape),
+        },
+    }
+    if use_jackknife:
+        result["coherence_ci_lower"] = full["ci_lower"]
+        result["coherence_ci_upper"] = full["ci_upper"]
+    return result
 
 
-def sharded_surrogate_null(mesh: Mesh,
-                           eeg: jnp.ndarray,
-                           emg: jnp.ndarray,
-                           tapers: np.ndarray,
-                           inv_fs_n: float,
-                           window_starts: np.ndarray,
-                           window_samples: int,
-                           n_surrogates: int,
-                           seed: int = 0):
-    """Phase-randomised MSC null sharded over all mesh devices.
+def time_sharded_msc(
+        mesh: Mesh,
+        eeg,
+        emg,
+        sampling_freq: float,
+        nw: float = 3,
+        window_length_sec: float = 1.0,
+        overlap_frac: float = 0.5,
+        taper_eigenvalue_threshold: float = 0.90,
+        use_jackknife: bool = True,
+        jackknife_alpha: float = 0.05,
+        aggregate_emg_max: bool = False,
+        window_chunk: int | None = None,
+) -> dict:
+    """CMC for ONE recording sharded along the time axis with halo exchange.
 
-    Surrogates are split evenly over every device in the mesh (the null
-    axis is embarrassingly parallel); returns the per-surrogate global max
-    statistic (n_surrogates,).
+    For recordings whose (n_samples × channels) footprint exceeds a single
+    chip's HBM, the signal is split into contiguous blocks of whole hops
+    across all mesh devices; each device ``ppermute``-receives the first
+    ``window − hop`` samples of its right neighbour (the halo) so sliding
+    windows crossing a shard boundary are computed exactly once, locally.
+    Results are bit-identical to the unsharded ``multitaper_msc`` grid
+    (asserted in tests/test_parallel.py).
     """
-    n_dev = mesh.devices.size
-    n_per = -(-n_surrogates // n_dev)
-    total = n_per * n_dev
+    eeg = np.asarray(eeg, np.float32)
+    emg = np.asarray(emg, np.float32)
+    if eeg.ndim != 2 or emg.ndim != 2 or eeg.shape[0] != emg.shape[0]:
+        raise ValueError("eeg/emg must be (n_samples, n_channels) with "
+                         "equal n_samples")
+    n_samples, n_eeg = eeg.shape
+    n_emg = emg.shape[1]
 
-    flat_mesh = Mesh(mesh.devices.reshape(-1), ("surrogates",))
-    shard = NamedSharding(flat_mesh, P("surrogates"))
-    keys = jax.device_put(
-        jax.random.split(jax.random.PRNGKey(seed), total), shard)
+    window_samples = int(window_length_sec * sampling_freq)
+    hop = int(window_samples * (1 - overlap_frac))
+    if hop <= 0:
+        raise ValueError("overlap_frac too high: hop_samples becomes <= 0")
+    halo = window_samples - hop
+    tapers = filtered_tapers(window_samples, nw, taper_eigenvalue_threshold)
+    K = int(tapers.shape[0])
+    starts, time_centers = window_grid(
+        n_samples, window_samples, hop, sampling_freq, convention="cmc")
+    W = len(starts)
+    freqs = np.fft.rfftfreq(window_samples, d=1.0 / sampling_freq)
 
-    starts_j = jnp.asarray(window_starts, jnp.int32)
+    devices = mesh.devices.reshape(-1)
+    n_dev = devices.size
+    flat = Mesh(devices, ("time",))
+
+    chunk = window_chunk or _auto_chunk(window_samples, K, n_eeg, n_emg,
+                                        use_jackknife)
+    w_loc = math.ceil(W / n_dev)
+    chunk = int(min(chunk, w_loc))
+    w_loc = chunk * math.ceil(w_loc / chunk)
+    block = w_loc * hop
+
+    # pad so every device holds `block` samples, plus the tail the last
+    # device needs beyond the sharded extent (its halo neighbour wraps)
+    n_shard = n_dev * block
+    n_ext = n_shard + halo
+    pad_to = lambda x: np.concatenate(
+        [x, np.zeros((max(n_ext - n_samples, 0), x.shape[1]), x.dtype)]
+    )[:n_ext]
+    eeg_ext, emg_ext = pad_to(eeg), pad_to(emg)
+    eeg_main, eeg_tail = eeg_ext[:n_shard], eeg_ext[n_shard:]
+    emg_main, emg_tail = emg_ext[:n_shard], emg_ext[n_shard:]
+
+    t_crit = np.float32(_t_dist.ppf(1 - jackknife_alpha / 2, max(K - 1, 1)))
+    inv_fs_n = np.float32(1.0 / (sampling_freq * window_samples))
     tapers_j = jnp.asarray(tapers, jnp.float32)
-    eeg_frames = frame_signal(jnp.asarray(eeg), starts_j, window_samples)
-    emg_j = jnp.asarray(emg)
+    local_starts = jnp.asarray(np.arange(w_loc, dtype=np.int64) * hop,
+                               jnp.int32)
+    perm = [(i, (i - 1) % n_dev) for i in range(n_dev)]
 
-    @functools.partial(jax.jit, out_shardings=shard,
-                       static_argnames=("ws",))
-    def step(ks, ef, m, ws):
-        def one(k):
-            s = phase_randomize(k, m, 1)[0]
-            mf = frame_signal(s, starts_j, ws)
-            spec = _msc_spectrum_mean(ef, mf, tapers_j,
-                                      jnp.float32(inv_fs_n))
-            return spec.max()
-        return jax.lax.map(one, ks)
+    def block_fn(eb, mb, et, mt):
+        def extend(local, tail_rep):
+            if halo == 0:
+                return local
+            recv = jax.lax.ppermute(local[:halo], "time", perm)
+            idx = jax.lax.axis_index("time")
+            is_last = (idx == n_dev - 1)
+            h = jnp.where(is_last, tail_rep, recv)
+            return jnp.concatenate([local, h], axis=0)
 
-    out = step(keys, eeg_frames, emg_j, window_samples)
-    return np.asarray(out)[:n_surrogates]
+        e_ext = extend(eb, et)
+        m_ext = extend(mb, mt)
+        return _msc_all_windows(e_ext, m_ext, local_starts, tapers_j,
+                                inv_fs_n, t_crit, window_samples, chunk,
+                                use_jackknife, aggregate_emg_max,
+                                use_pallas=False)
+
+    keys = ["coherence"] + (["ci_lower", "ci_upper"] if use_jackknife
+                            else [])
+    out_spec = {k: P("time") for k in keys}
+    fn = shard_map(block_fn, mesh=flat,
+                   in_specs=(P("time"), P("time"), P(), P()),
+                   out_specs=out_spec)
+    out = jax.jit(fn)(jnp.asarray(eeg_main), jnp.asarray(emg_main),
+                      jnp.asarray(eeg_tail), jnp.asarray(emg_tail))
+    out = {k: np.asarray(v, np.float32)[:W] for k, v in out.items()}
+
+    result = {
+        "coherence_raw": out["coherence"],
+        "time_centers": time_centers,
+        "freqs": freqs,
+        "metadata": {
+            "K_tapers": K,
+            "n_windows": W,
+            "window_length_sec": window_length_sec,
+            "overlap_frac": overlap_frac,
+            "use_jackknife": use_jackknife,
+            "halo_samples": halo,
+            "n_time_shards": n_dev,
+            "samples_per_shard": block,
+        },
+    }
+    if use_jackknife:
+        result["coherence_ci_lower"] = out["ci_lower"]
+        result["coherence_ci_upper"] = out["ci_upper"]
+    return result

@@ -1,25 +1,32 @@
-"""Multi-chip sharding layer on the 8-device virtual CPU mesh."""
+"""Multi-chip sharding layer on the 8-device virtual CPU mesh.
+
+Round-2 contract (VERDICT.md item 3): the sharded paths run the PRODUCTION
+orchestrator — ``_msc_all_windows`` with masking, chunking and compaction —
+so sharded == unsharded is asserted on the full result dict, and the
+surrogate engines are sharded as themselves (``mesh=`` parameter), not via
+a divergent kernel.
+"""
 import numpy as np
 import pytest
 import jax
-import jax.numpy as jnp
-from scipy.stats import t as t_dist
 
 from mba_tpu.parallel.mesh import make_mesh, cohort_sharding
-from mba_tpu.parallel.cohort import (sharded_cohort_cmc,
-                                     sharded_surrogate_null)
-from mba_tpu.ops.coherence import _msc_chunk_kernel
-from mba_tpu.ops.dpss import filtered_tapers
+from mba_tpu.parallel.cohort import cohort_multitaper_msc, time_sharded_msc
+from mba_tpu.ops.coherence import multitaper_msc
 
-FS, WS = 256.0, 256
+FS = 256.0
 
 
-def _cohort_frames(n_subjects=4, n_windows=8, n_eeg=4, n_emg=2, seed=0):
+def _cohort_signals(n_subjects=3, seconds=8.0, n_eeg=3, n_emg=2, seed=0):
     rng = np.random.default_rng(seed)
-    eeg = rng.standard_normal((n_subjects, n_windows, WS, n_eeg)
-                              ).astype(np.float32)
-    emg = rng.standard_normal((n_subjects, n_windows, WS, n_emg)
-                              ).astype(np.float32)
+    n = int(FS * seconds)
+    shared = rng.standard_normal(n)
+    eeg = np.stack([0.5 * shared[:, None]
+                    + rng.standard_normal((n, n_eeg))
+                    for _ in range(n_subjects)]).astype(np.float32)
+    emg = np.stack([0.5 * shared[:, None]
+                    + rng.standard_normal((n, n_emg))
+                    for _ in range(n_subjects)]).astype(np.float32)
     return eeg, emg
 
 
@@ -40,49 +47,123 @@ class TestMesh:
                                                         "windows")
 
 
-class TestShardedCohortCmc:
-    def test_matches_unsharded_kernel(self):
+class TestCohortProductionOrchestrator:
+    """cohort_multitaper_msc == per-subject multitaper_msc, exactly."""
+
+    @pytest.mark.parametrize("aggregate_emg_max", [False, True])
+    def test_matches_single_chip_full_dict(self, aggregate_emg_max):
         mesh = make_mesh(8)
-        eeg, emg = _cohort_frames()
-        tapers = np.asarray(filtered_tapers(WS, 3, 0.9), np.float32)
-        K = tapers.shape[0]
-        t_crit = float(t_dist.ppf(0.975, K - 1))
-        inv = float(1.0 / (FS * WS))
+        eeg, emg = _cohort_signals(n_subjects=3)   # 3 ∤ 2: subject padding
+        res = cohort_multitaper_msc(
+            mesh, eeg, emg, FS, nw=3, window_length_sec=1.0,
+            overlap_frac=0.5, use_jackknife=True,
+            aggregate_emg_max=aggregate_emg_max)
+        for j in range(3):
+            ref = multitaper_msc(
+                eeg[j], emg[j], FS, nw=3, window_length_sec=1.0,
+                overlap_frac=0.5, use_jackknife=True,
+                aggregate_emg_max=aggregate_emg_max,
+                apply_independence_threshold=False)
+            np.testing.assert_allclose(
+                res["coherence_raw"][j], ref["coherence_raw"],
+                rtol=1e-5, atol=2e-6)
+            np.testing.assert_allclose(
+                res["coherence_ci_lower"][j], ref["coherence_ci_lower"],
+                rtol=1e-5, atol=2e-6)
+            np.testing.assert_allclose(
+                res["coherence_ci_upper"][j], ref["coherence_ci_upper"],
+                rtol=1e-5, atol=2e-6)
+        np.testing.assert_allclose(res["freqs"], ref["freqs"])
+        np.testing.assert_allclose(res["time_centers"],
+                                   ref["time_centers"])
 
-        coh, cohort_mean = sharded_cohort_cmc(
-            mesh, eeg, emg, tapers, inv, t_crit)
-        assert coh.shape == (4, 8, WS // 2 + 1, 4)
-        assert cohort_mean.shape == (8, WS // 2 + 1, 4)
-        # the per-subject sharded result equals the single-device kernel
-        ref = _msc_chunk_kernel(
-            jnp.asarray(eeg[1]), jnp.asarray(emg[1]),
-            jnp.asarray(tapers), np.float32(inv), np.float32(t_crit),
-            use_jackknife=True, aggregate_emg_max=True)["coherence"]
-        np.testing.assert_allclose(np.asarray(coh)[1], np.asarray(ref),
-                                   atol=2e-5)
-        np.testing.assert_allclose(np.asarray(cohort_mean),
-                                   np.asarray(coh).mean(axis=0),
-                                   atol=1e-6)
-
-    def test_output_actually_sharded(self):
+    def test_per_subject_masks(self):
         mesh = make_mesh(8)
-        eeg, emg = _cohort_frames()
-        tapers = np.asarray(filtered_tapers(WS, 3, 0.9), np.float32)
-        coh, cohort_mean = sharded_cohort_cmc(
-            mesh, eeg, emg, tapers, 1.0 / (FS * WS), 2.0)
-        # per-subject output spans all 8 devices; the cohort mean is
-        # fully replicated
-        assert len(coh.sharding.device_set) == 8
-        assert cohort_mean.sharding.is_fully_replicated
+        eeg, emg = _cohort_signals(n_subjects=2, seconds=6.0)
+        W = int((eeg.shape[1] - FS) // (FS / 2) + 1)
+        rng = np.random.default_rng(1)
+        masks = rng.random((2, W)) < 0.6
+        masks[1, :3] = False                       # asymmetric masks
+        res = cohort_multitaper_msc(
+            mesh, eeg, emg, FS, nw=3, window_length_sec=1.0,
+            window_masks=masks, use_jackknife=True)
+        for j in range(2):
+            ref = multitaper_msc(
+                eeg[j], emg[j], FS, nw=3, window_length_sec=1.0,
+                window_mask=masks[j], use_jackknife=True,
+                apply_independence_threshold=False)
+            np.testing.assert_allclose(
+                res["coherence_raw"][j], ref["coherence_raw"],
+                rtol=1e-5, atol=2e-6)
+            # masked-out windows are exact zeros
+            assert np.all(res["coherence_raw"][j][~masks[j]] == 0)
+        # cohort mean averages only the subjects active per window
+        counts = masks.sum(axis=0).astype(np.float32)
+        manual = (res["coherence_raw"].sum(axis=0)
+                  / np.maximum(counts, 1)[:, None, None, None])
+        np.testing.assert_allclose(res["cohort_mean"], manual,
+                                   rtol=1e-6, atol=1e-7)
+
+    def test_all_masked_out(self):
+        mesh = make_mesh(8)
+        eeg, emg = _cohort_signals(n_subjects=2, seconds=4.0)
+        W = int((eeg.shape[1] - FS) // (FS / 2) + 1)
+        masks = np.zeros((2, W), bool)
+        res = cohort_multitaper_msc(mesh, eeg, emg, FS,
+                                    window_length_sec=1.0,
+                                    window_masks=masks)
+        assert np.all(res["coherence_raw"] == 0)
+        assert np.all(res["cohort_mean"] == 0)
 
 
-class TestShardedSurrogateNull:
-    def _signals(self, couple=False, seed=0):
+class TestTimeSharded:
+    """Halo-exchange time sharding == unsharded, window for window."""
+
+    @pytest.mark.parametrize("overlap", [0.5, 0.0, 0.75])
+    def test_matches_unsharded(self, overlap):
+        mesh = make_mesh(8)
+        rng = np.random.default_rng(2)
+        n = int(FS * 10)
+        eeg = rng.standard_normal((n, 2)).astype(np.float32)
+        emg = rng.standard_normal((n, 2)).astype(np.float32)
+        res = time_sharded_msc(mesh, eeg, emg, FS, nw=3,
+                               window_length_sec=1.0,
+                               overlap_frac=overlap, use_jackknife=True)
+        ref = multitaper_msc(eeg, emg, FS, nw=3, window_length_sec=1.0,
+                             overlap_frac=overlap, use_jackknife=True,
+                             apply_independence_threshold=False)
+        assert res["metadata"]["n_time_shards"] == 8
+        assert res["metadata"]["halo_samples"] == int(FS * overlap)
+        np.testing.assert_allclose(res["coherence_raw"],
+                                   ref["coherence_raw"],
+                                   rtol=1e-5, atol=2e-6)
+        np.testing.assert_allclose(res["coherence_ci_upper"],
+                                   ref["coherence_ci_upper"],
+                                   rtol=1e-5, atol=2e-6)
+        np.testing.assert_allclose(res["time_centers"],
+                                   ref["time_centers"])
+
+    def test_shards_hold_fraction_of_signal(self):
+        """Each device's block is ~1/8 of the recording (the HBM story)."""
+        mesh = make_mesh(8)
+        rng = np.random.default_rng(3)
+        n = int(FS * 16)
+        x = rng.standard_normal((n, 1)).astype(np.float32)
+        res = time_sharded_msc(mesh, x, x.copy(), FS,
+                               window_length_sec=1.0, overlap_frac=0.5,
+                               use_jackknife=False)
+        m = res["metadata"]
+        assert m["samples_per_shard"] + m["halo_samples"] < 0.2 * n
+
+
+class TestShardedPhaseRandomizedNull:
+    """The REAL null engine under mesh= — one code path."""
+
+    def _signals(self, couple, seed):
         rng = np.random.default_rng(seed)
-        n = WS * 12
-        white = rng.standard_normal(n)
-        spec = np.fft.rfft(white)
+        n = int(FS * 12)
         f = np.fft.rfftfreq(n, 1 / FS)
+        spec = np.fft.rfft(rng.standard_normal(n))
         spec[(f < 15) | (f > 30)] = 0
         shared = np.fft.irfft(spec, n=n)
         shared /= shared.std() + 1e-12
@@ -93,37 +174,40 @@ class TestShardedSurrogateNull:
                + rng.standard_normal((n, 1))).astype(np.float32)
         return eeg, emg
 
-    def test_null_shape_and_range(self):
+    def test_sharded_engine_matches_unsharded(self):
+        from mba_tpu.ops.surrogate import msc_phase_randomized_null
+
         mesh = make_mesh(8)
-        eeg, emg = self._signals()
-        tapers = np.asarray(filtered_tapers(WS, 3, 0.9), np.float32)
-        starts = np.arange(0, eeg.shape[0] - WS + 1, WS // 2)
-        null = sharded_surrogate_null(
-            mesh, eeg, emg, tapers, 1.0 / (FS * WS), starts, WS,
-            n_surrogates=50, seed=1)
-        assert null.shape == (50,)
-        assert np.all((null >= 0) & (null <= 1))
-        # deterministic per seed
-        null2 = sharded_surrogate_null(
-            mesh, eeg, emg, tapers, 1.0 / (FS * WS), starts, WS,
-            n_surrogates=50, seed=1)
-        np.testing.assert_allclose(null, null2)
+        eeg, emg = self._signals(couple=False, seed=4)
+        kw = dict(sampling_freq=FS, window_length_sec=1.0,
+                  quantiles=(0.9, 0.95))
+        sh = msc_phase_randomized_null(eeg, emg, n_surrogates=512,
+                                       surrogate_chunk=32, seed=5,
+                                       mesh=mesh, **kw)
+        sh2 = msc_phase_randomized_null(eeg, emg, n_surrogates=512,
+                                        surrogate_chunk=32, seed=5,
+                                        mesh=mesh, **kw)
+        np.testing.assert_array_equal(sh["max_stat"], sh2["max_stat"])
+
+        un = msc_phase_randomized_null(eeg, emg, n_surrogates=512,
+                                       surrogate_chunk=128, seed=5, **kw)
+        np.testing.assert_allclose(sh["observed"], un["observed"],
+                                   rtol=1e-5, atol=1e-6)
+        assert sh["max_stat"].shape == un["max_stat"].shape == (512,)
+        for q in (0.9, 0.95):
+            a = float(np.quantile(sh["max_stat"], q))
+            b = float(np.quantile(un["max_stat"], q))
+            assert abs(a - b) < 0.1 * max(a, b)
+        # per-cell quantile maps from the psum'd histogram agree too
+        d = np.abs(sh["null_quantiles"][0.95] - un["null_quantiles"][0.95])
+        assert np.median(d) < 0.05
 
     def test_null_below_planted_coupling(self):
-        from mba_tpu.ops.surrogate import _msc_spectrum_mean
-        from mba_tpu.ops.framing import frame_signal
+        from mba_tpu.ops.surrogate import msc_phase_randomized_null
+
         mesh = make_mesh(8)
-        eeg, emg = self._signals(couple=True, seed=2)
-        tapers = np.asarray(filtered_tapers(WS, 3, 0.9), np.float32)
-        starts = np.arange(0, eeg.shape[0] - WS + 1, WS // 2)
-        inv = 1.0 / (FS * WS)
-        null = sharded_surrogate_null(mesh, eeg, emg, tapers, inv,
-                                      starts, WS, n_surrogates=64,
-                                      seed=3)
-        ef = frame_signal(jnp.asarray(eeg), jnp.asarray(starts,
-                                                        jnp.int32), WS)
-        mf = frame_signal(jnp.asarray(emg), jnp.asarray(starts,
-                                                        jnp.int32), WS)
-        observed = float(np.asarray(_msc_spectrum_mean(
-            ef, mf, jnp.asarray(tapers), jnp.float32(inv))).max())
-        assert observed > np.quantile(null, 0.99)
+        eeg, emg = self._signals(couple=True, seed=6)
+        res = msc_phase_randomized_null(
+            eeg, emg, FS, n_surrogates=64, window_length_sec=1.0,
+            surrogate_chunk=8, seed=7, max_stat_only=True, mesh=mesh)
+        assert res["observed"].max() > np.quantile(res["max_stat"], 0.99)
