@@ -113,6 +113,8 @@ def _subject_rotation_coeffs(eeg, emg, starts, weights, tapers,
     """
     K = tapers.shape[0]
     ks, ls = _pair_indices(K)
+    eeg = eeg.astype(jnp.float32)      # accept reduced transfer dtypes
+    emg = emg.astype(jnp.float32)
     pad = (-starts.shape[0]) % window_chunk
     if pad:                       # shapes are static at trace time
         starts = jnp.concatenate([starts, jnp.tile(starts[:1], pad)])
@@ -224,9 +226,10 @@ def cohort_msc_rotation_null(
         band: tuple[float, float] = (13.0, 100.0),
         quantiles=(0.95, 0.99),
         surrogate_chunk: int = 256,
-        window_chunk: int = 8,
+        window_chunk: int = 32,
         seed: int = 0,
         compute_dtype=None,
+        transfer_dtype=None,
         mesh=None,
         window_starts=None,
         window_weights=None,
@@ -244,6 +247,10 @@ def cohort_msc_rotation_null(
         TPU (f32 accumulation via ``preferred_element_type``), float32
         elsewhere.  bf16 perturbs null draws by ~0.4 % relative — far below
         Monte-Carlo noise at any practical ``n_surrogates``.
+    transfer_dtype : optional reduced dtype (e.g. ``np.float16``) for the
+        host→device signal upload, which dominates wall time on tunneled
+        links; arithmetic stays float32 on device.  Relative signal error
+        ~1e-3 → statistic error well below Monte-Carlo noise (tested).
     mesh : optional ``jax.sharding.Mesh`` — surrogates are sharded over all
         its devices (embarrassingly parallel; one psum on the per-cell
         exceedance counts).
@@ -306,7 +313,12 @@ def cohort_msc_rotation_null(
 
     tapers_j = jnp.asarray(tapers, jnp.float32)
     # ---- precompute per-subject rotation coefficients (device-resident) --
+    import time as _time
+    t_pre0 = _time.perf_counter()
     bases, coefs = [], []
+    if transfer_dtype is not None:
+        eeg = eeg.astype(transfer_dtype)
+        emg = emg.astype(transfer_dtype)
     for j in range(J):
         b, c = _subject_rotation_coeffs(
             jnp.asarray(eeg[j]), jnp.asarray(emg[j]),
@@ -324,6 +336,7 @@ def cohort_msc_rotation_null(
     observed_flat = base_flat + coef_all[..., :P_feats // 2].sum(
         axis=-1).mean(axis=0)
     observed = np.asarray(observed_flat).reshape(nF, nE, nM)
+    t_precompute = _time.perf_counter() - t_pre0   # incl. uploads + sync
 
     if verbose:
         gB = coef_all.size * 4 / 1e9
@@ -332,6 +345,7 @@ def cohort_msc_rotation_null(
               f"{n_surrogates} surrogates in chunks of {surrogate_chunk}")
 
     # ---- surrogate chunks ------------------------------------------------
+    t_null0 = _time.perf_counter()
     counts = jnp.zeros((nF, nE * nM), jnp.int32)
     chunk = int(min(surrogate_chunk, n_surrogates))
     key = jax.random.PRNGKey(seed)
@@ -367,6 +381,7 @@ def cohort_msc_rotation_null(
     # ops/surrogate.py msc_phase_randomized_null).
     max_stat = np.concatenate(max_stats)[:n_surrogates]
     counts_np = np.asarray(counts).reshape(nF, nE, nM)
+    t_null = _time.perf_counter() - t_null0
     p_unc = (1.0 + counts_np) / (1.0 + n_total)
     p_fwe = float((1.0 + (max_stat >= observed.max()).sum())
                   / (1.0 + len(max_stat)))
@@ -390,5 +405,7 @@ def cohort_msc_rotation_null(
             "compute_dtype": jnp.dtype(compute_dtype).name,
             "contraction_flops": float(2 * n_total * nF * nE * nM
                                        * J * P_feats),
+            "timings": {"precompute_sec": round(t_precompute, 3),
+                        "null_sec": round(t_null, 3)},
         },
     }

@@ -206,6 +206,29 @@ def _null_distribution(key, X_flat, nbr_table, threshold, tail, n_nodes,
     return out.reshape(-1)[:n_permutations]
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("tail", "n_nodes", "chunk"))
+def _null_from_signs(signs, X_flat, nbr_table, threshold, tail, n_nodes,
+                     chunk=256):
+    """Max-cluster-mass null for an explicit sign matrix (P, n_subj) —
+    used for exact enumeration of all 2^n sign assignments."""
+    sum_sq = jnp.sum(X_flat ** 2, axis=0)
+    n = signs.shape[0]
+    pad = (-n) % chunk
+    signs = jnp.concatenate(
+        [signs, jnp.ones((pad, signs.shape[1]), signs.dtype)])
+
+    def chunk_fn(sg):
+        tmaps = _t_maps(sg, X_flat, sum_sq)
+        return jax.vmap(
+            lambda tm: _max_cluster_mass(tm, nbr_table, threshold, tail,
+                                         n_nodes))(tmaps)
+
+    out = jax.lax.map(chunk_fn, signs.reshape((-1, chunk,
+                                               signs.shape[1])))
+    return out.reshape(-1)[:n]
+
+
 # --------------------------------------------------------------------------
 # public API
 # --------------------------------------------------------------------------
@@ -216,12 +239,17 @@ def cluster_permutation_1samp_test(X: np.ndarray,
                                    tail: int = 0,
                                    alpha_cluster_forming: float = 0.05,
                                    seed: int = 42,
-                                   permutation_chunk: int = 1024):
+                                   permutation_chunk: int = 1024,
+                                   exact: bool | None = None):
     """Spatio-temporal cluster-based 1-sample permutation test.
 
     X : (n_subjects, n_times, n_channels) contrast array.
     adjacency : combined (n_times·n_ch)² sparse adjacency
         (node index = t·n_ch + ch).
+    exact : enumerate ALL 2^n_subjects sign assignments instead of Monte
+        Carlo — the permutation p-values are then exact randomisation-test
+        p-values (the identity assignment is included in H0, so p ≥ 2^-n).
+        Defaults to automatic: exact when 2^n_subjects ≤ n_permutations.
 
     Returns (t_obs (n_times, n_ch), clusters [bool masks], cluster_pv,
     H0) with MNE conventions: cluster mass = sum of t inside the cluster;
@@ -272,14 +300,27 @@ def cluster_permutation_1samp_test(X: np.ndarray,
 
     # permutation null on device
     nbr_table = _neighbor_table(_edge_list(adjacency), n_nodes)
-    chunk = int(min(permutation_chunk, max(n_permutations, 1)))
-    H0_perm = np.asarray(_null_distribution(
-        jax.random.PRNGKey(seed), jnp.asarray(X_flat),
-        jnp.asarray(nbr_table), np.float32(threshold), tail, n_nodes,
-        n_permutations, chunk=chunk))
-
+    if exact is None:
+        exact = n_subj <= 20 and 2 ** n_subj <= n_permutations
     obs_max = max((abs(m) for m in masses), default=0.0)
-    H0 = np.concatenate([[obs_max], H0_perm])   # observed included (MNE)
+    if exact:
+        # all 2^n sign assignments; the identity (all +1) is one of them,
+        # so H0 already contains the observed statistic
+        bits = np.arange(2 ** n_subj, dtype=np.int64)
+        signs = np.where((bits[:, None] >> np.arange(n_subj)) & 1,
+                         1.0, -1.0).astype(np.float32)
+        chunk = int(min(permutation_chunk, len(signs)))
+        H0 = np.asarray(_null_from_signs(
+            jnp.asarray(signs), jnp.asarray(X_flat),
+            jnp.asarray(nbr_table), np.float32(threshold), tail, n_nodes,
+            chunk=chunk))
+    else:
+        chunk = int(min(permutation_chunk, max(n_permutations, 1)))
+        H0_perm = np.asarray(_null_distribution(
+            jax.random.PRNGKey(seed), jnp.asarray(X_flat),
+            jnp.asarray(nbr_table), np.float32(threshold), tail, n_nodes,
+            n_permutations, chunk=chunk))
+        H0 = np.concatenate([[obs_max], H0_perm])  # observed incl. (MNE)
 
     cluster_pv = np.array([float(np.mean(H0 >= abs(m))) for m in masses])
     return (t_obs_flat.reshape(n_times, n_ch), clusters, cluster_pv, H0)

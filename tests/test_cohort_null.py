@@ -244,6 +244,21 @@ class TestSharded:
         assert np.median(diff) < 0.08
 
 
+class TestTransferDtype:
+    def test_f16_transfer_matches_f32(self):
+        eeg = np.stack([_toy_subject(s, coupled=True)[0] for s in range(2)])
+        emg = np.stack([_toy_subject(s, coupled=True)[1] for s in range(2)])
+        kw = dict(sampling_freq=FS, n_surrogates=256,
+                  window_length_sec=0.5, band=(8.0, 40.0),
+                  surrogate_chunk=128, seed=2, compute_dtype=jnp.float32)
+        a = cohort_msc_rotation_null(eeg, emg, **kw)
+        b = cohort_msc_rotation_null(eeg, emg, transfer_dtype=np.float16,
+                                     **kw)
+        np.testing.assert_allclose(a["observed"], b["observed"], atol=5e-3)
+        assert abs(np.quantile(a["max_stat"], 0.95)
+                   - np.quantile(b["max_stat"], 0.95)) < 0.02
+
+
 class TestValidation:
     def test_band_excludes_dc_and_nyquist(self):
         eeg, emg = _toy_subject(3)
