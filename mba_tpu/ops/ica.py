@@ -160,69 +160,22 @@ class InfomaxICA:
 
 
 # --------------------------------------------------------------------------
-# heuristic component labeling (ICLabel-equivalent vocabulary)
+# component labeling (ICLabel-equivalent vocabulary)
 # --------------------------------------------------------------------------
-def _power_ratio(source: np.ndarray, fs: float, f_lo: float, f_hi: float
-                 ) -> float:
-    f = np.fft.rfftfreq(len(source), 1 / fs)
-    p = np.abs(np.fft.rfft(source - source.mean())) ** 2
-    total = p[(f >= 0.5)].sum() + 1e-20
-    return float(p[(f >= f_lo) & (f < f_hi)].sum() / total)
-
-
 def label_components(ica: InfomaxICA, data: np.ndarray, fs: float,
                      channel_names: list[str] | None = None) -> dict:
-    """Rule-based IC labels: {'labels': [...], 'y_pred_proba': [...]}.
+    """Per-class feature-based IC labels (mne-icalabel contract).
 
     Same output contract as mne_icalabel.label_components (reference
     preprocessing.py:701-705): per component one of 'brain', 'eye blink',
-    'heart beat', 'muscle artifact', 'channel noise', 'other'.
+    'heart beat', 'muscle artifact', 'channel noise', 'line noise',
+    'other'.  Delegates to :mod:`mba_tpu.ops.ic_classify`, whose per-class
+    evidence (topography concentration, frontal dominance, spectral slope,
+    QRS periodicity, line-frequency contrast) is validated by per-class
+    injection tests (tests/test_ic_classify.py).
     """
+    from mba_tpu.ops.ic_classify import classify_components
+
     sources = ica.get_sources(data)
-    n_comp = sources.shape[1]
-    mixing = ica.mixing_                                   # (C, n_comp)
-    n_ch = mixing.shape[0]
-
-    frontal_idx = []
-    if channel_names is not None:
-        frontal_idx = [i for i, ch in enumerate(channel_names)
-                       if ch.startswith(('Fp', 'AF'))]
-
-    labels, probas = [], []
-    for k in range(n_comp):
-        src = sources[:, k]
-        topo = np.abs(mixing[:, k])
-        topo_norm = topo / (np.linalg.norm(topo) + 1e-20)
-
-        single_channel_dominance = float(topo_norm.max())
-        frontal_fraction = (float((topo_norm[frontal_idx] ** 2).sum())
-                            if frontal_idx else 0.0)
-        low_ratio = _power_ratio(src, fs, 0.5, 4.0)
-        high_ratio = _power_ratio(src, fs, 30.0, fs / 2)
-        cardiac_ratio = _power_ratio(src, fs, 0.8, 2.5)
-        # sharp periodic peaks: kurtosis + regular inter-peak intervals
-        z = (src - src.mean()) / (src.std() + 1e-20)
-        peaks = np.flatnonzero((z[1:-1] > 3.0) & (z[1:-1] >= z[:-2])
-                               & (z[1:-1] >= z[2:])) + 1
-        if len(peaks) > 3:
-            ipi = np.diff(peaks) / fs
-            ipi = ipi[ipi > 0.25]
-            periodic = (len(ipi) > 2
-                        and 0.35 < np.median(ipi) < 1.5
-                        and np.std(ipi) / (np.mean(ipi) + 1e-20) < 0.35)
-        else:
-            periodic = False
-
-        if single_channel_dominance > 0.95 and n_ch > 2:
-            label, proba = 'channel noise', single_channel_dominance
-        elif frontal_fraction > 0.6 and low_ratio > 0.4:
-            label, proba = 'eye blink', frontal_fraction
-        elif periodic and cardiac_ratio > 0.15:
-            label, proba = 'heart beat', cardiac_ratio
-        elif high_ratio > 0.55:
-            label, proba = 'muscle artifact', high_ratio
-        else:
-            label, proba = 'brain', 1.0 - high_ratio
-        labels.append(label)
-        probas.append(float(proba))
-    return {'y_pred_proba': probas, 'labels': labels}
+    out = classify_components(sources, ica.mixing_, fs, channel_names)
+    return {'y_pred_proba': out['y_pred_proba'], 'labels': out['labels']}
