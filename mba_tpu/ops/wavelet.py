@@ -80,7 +80,8 @@ def _conv_down2(x: jnp.ndarray, filt: np.ndarray) -> jnp.ndarray:
     # XLA conv is correlation (no kernel flip) — pass the filter unreversed
     rhs = jnp.asarray(filt, x.dtype)[None, None, :]
     y = jax.lax.conv_general_dilated(
-        lhs, rhs, window_strides=(2,), padding=[(0, 0)])[:, 0, :]
+        lhs, rhs, window_strides=(2,), padding=[(0, 0)],
+        precision=jax.lax.Precision.HIGHEST)[:, 0, :]
     return y[:, :out_len].T
 
 
@@ -92,7 +93,8 @@ def _upconv(c: jnp.ndarray, filt: np.ndarray) -> jnp.ndarray:
     lhs = jnp.pad(up, [(L - 1, L - 1), (0, 0)]).T[:, None, :]
     rhs = jnp.asarray(filt[::-1], c.dtype)[None, None, :]  # conv = corr w/ rev
     y = jax.lax.conv_general_dilated(
-        lhs, rhs, window_strides=(1,), padding=[(0, 0)])[:, 0, :]
+        lhs, rhs, window_strides=(1,), padding=[(0, 0)],
+        precision=jax.lax.Precision.HIGHEST)[:, 0, :]
     return y.T                                    # (2m - 1 + L - 1, C)
 
 
