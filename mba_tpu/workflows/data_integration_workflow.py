@@ -14,10 +14,14 @@ import pandas as pd
 
 from mba_tpu.pipeline import data_integration as di
 from mba_tpu.utils import file_management as filemgmt
+from mba_tpu.workflows.study_curation import (STUDY_CURATION,
+                                              SubjectCuration,
+                                              apply_subject_curation)
 
-# Per-subject curation registry (reference :54-328 hard-codes subjects
-# 0-11; register the study-specific amendments here as callables
-# raw_log -> raw_log or enriched -> enriched).
+# Extension hooks on top of the study's committed curation record
+# (study_curation.STUDY_CURATION carries the reference's subject-0-11
+# amendments, reference :54-328): callables raw_log -> raw_log or
+# enriched -> enriched applied after the registry record.
 RAW_LOG_AMENDMENTS: dict[int, list] = {}
 ENRICHED_AMENDMENTS: dict[int, list] = {}
 
@@ -32,9 +36,9 @@ def integrate_subject(subject: int, experiment_data_dir: Path,
     raw = di.fetch_experiment_log(subject_dir)
     for amend in RAW_LOG_AMENDMENTS.get(subject, []):
         raw = amend(raw)
-    enriched = di.prepare_log_frame(
-        raw, set_time_index=False,
-        avg_end_delay_seconds=avg_end_delay_seconds)
+    curation = STUDY_CURATION.get(subject, SubjectCuration())
+    raw, enriched = apply_subject_curation(
+        raw, curation, avg_end_delay_seconds=avg_end_delay_seconds)
     for amend in ENRICHED_AMENDMENTS.get(subject, []):
         enriched = amend(enriched)
 
