@@ -74,9 +74,10 @@ class TestApplyCuration:
 
         # the wrongly-executed song is blanked in the raw log...
         assert not curated_raw["Music"].str.contains("Thunder").any()
-        # ...and no song trial survives re-enrichment (the other log
-        # entry, a skipped song, never formed a trial)
-        assert enriched["Song ID"].isna().all()
+        # ...and gone from the re-enriched log (the remaining song entry
+        # is the untouched skipped 'Weightless')
+        titles = enriched.loc[enriched["Song Title"].notna(), "Song Title"]
+        assert not titles.eq("Thunder").any()
         # the silence trial is annotated + excluded
         sil = enriched[enriched["Silence ID"] == 0]
         assert (sil["Trial Comment"] == "Talking during silence").all()
