@@ -581,3 +581,148 @@ def run_batch(configs: list[CBPAConfig]):
               f"({len(combined)} clusters, "
               f"{int(combined['significant'].sum())} significant)")
     return all_results, combined
+
+
+# ══════════════════════════════════════════════════════════════════════
+#  phase-average map assembly (for the phase-average figures,
+#  reference visualizations.py:3143-3733 load their data inline; here the
+#  assembly is a pipeline function so the plots stay data-first)
+# ══════════════════════════════════════════════════════════════════════
+def assemble_phase_average_maps(cfg: CBPAConfig,
+                                subject_ids: list[int] | None = None):
+    """Cohort-mean band-power map over (phase-or-time × channel).
+
+    Pools EVERY valid trial (all conditions) of every subject: per subject
+    the per-cycle phase profiles (``use_phase_normalization``) or per-trial
+    resampled time courses are averaged, then averaged across subjects.
+
+    Returns (grid, cohort_map (n_grid, n_ch), ch_names) — grid is phase
+    degrees under phase normalisation, else seconds.
+    """
+    if subject_ids is None:
+        stats_df = load_stats_frame(cfg.data_root)
+        subject_ids = sorted(stats_df["Subject ID"].astype(int).unique())
+    if cfg.exclude_subjects:
+        subject_ids = [s for s in subject_ids
+                       if s not in cfg.exclude_subjects]
+
+    if cfg.modality == "CMC":
+        ch_indices = None
+        ch_names = (cfg.channels if cfg.channels is not None
+                    else CMC_EEG_CHANNEL_SUBSET)
+    else:
+        ch_indices = ([EEG_CHANNEL_IND_DICT[ch] for ch in cfg.channels]
+                      if cfg.channels is not None else None)
+        ch_names = cfg.channels or None
+
+    grid = (np.linspace(0, 360, cfg.n_phase_bins, endpoint=False)
+            if cfg.use_phase_normalization else None)
+    per_subject = []
+    for subj in subject_ids:
+        try:
+            spectrogram, freqs, timestamps, log_df = _load_subject_data(
+                cfg, subj)
+        except Exception as exc:
+            warnings.warn(f"Subject {subj:02}: load failed ({exc}). "
+                          f"Skipping.")
+            continue
+        trial_spans = {int(k): v
+                       for k, v in _get_trial_spans(log_df, cfg).items()}
+        if not trial_spans:
+            continue
+        band_power = _extract_band_power(cfg, spectrogram, freqs,
+                                         ch_indices)
+        if cfg.use_phase_normalization:
+            all_cond = {t: "all" for t in trial_spans}
+            cycles = _band_power_per_phase(cfg, band_power, timestamps,
+                                           trial_spans, all_cond,
+                                           log_df).get("all", [])
+            if not cycles:
+                continue
+            per_subject.append(np.nanmean(np.stack(cycles, axis=0),
+                                          axis=0))
+        else:
+            if grid is None:
+                grid = _common_time_grid_from_spans(
+                    cfg, trial_spans, overlap_ratio=cfg.overlap_ratio)
+            trial_data, _ = _band_power_per_trial(
+                cfg, band_power, timestamps, trial_spans, len(grid))
+            if trial_data.shape[0] == 0:
+                continue
+            per_subject.append(np.nanmean(trial_data, axis=0))
+    if not per_subject:
+        raise RuntimeError("[phase maps] no subject produced data")
+    cohort = np.nanmean(np.stack(per_subject, axis=0), axis=0)
+    return grid, cohort, ch_names
+
+
+def assemble_accuracy_phase_profiles(cfg: CBPAConfig,
+                                     experiment_results_dir,
+                                     subject_ids: list[int],
+                                     condition_column: str | None = None):
+    """Phase-normalised trial-accuracy profiles pooled per condition.
+
+    Per trial: the accuracy sampler's squared-error series (reference
+    measurements_and_interactive_visuals.py:1783-1840, aligned via the
+    5.5-s accuracy offset) is cycle-segmented at the trial's task
+    frequency onto the cfg phase grid; profiles are grouped by the
+    enriched-log condition.  Returns {condition: [profiles]}.
+    """
+    from pathlib import Path as _Path
+
+    cond_col = condition_column or cfg.condition_column
+    phase_grid = np.linspace(0, 360, cfg.n_phase_bins, endpoint=False)
+    by_cond: dict[str, list[np.ndarray]] = {}
+    for subj in subject_ids:
+        sdir = _Path(experiment_results_dir) / f"subject_{int(subj):02}"
+        try:
+            log_df = data_integration.fetch_enriched_log_frame(
+                sdir, verbose=False)
+        except (FileNotFoundError, ValueError):
+            continue
+        spans = data_integration.get_all_task_start_ends(log_df, "dict")
+        for trial_id, (t_start, t_end) in spans.items():
+            sel = log_df["Trial ID"] == trial_id
+            freqs = pd.to_numeric(log_df.loc[sel, "Task Frequency"],
+                                  errors="coerce").dropna()
+            if freqs.empty or freqs.iloc[0] <= 0:
+                continue
+            task_freq = float(freqs.iloc[0])
+            song_ids = log_df.loc[sel, "Song ID"].dropna().unique()
+            sil_ids = log_df.loc[sel, "Silence ID"].dropna().unique()
+            try:
+                if len(song_ids):
+                    acc = data_integration.fetch_trial_accuracy(
+                        sdir, song_id=int(song_ids[0]))
+                elif len(sil_ids):
+                    acc = data_integration.fetch_trial_accuracy(
+                        sdir, silence_id=int(sil_ids[0]))
+                else:
+                    continue
+            except (FileNotFoundError, ValueError):
+                continue
+            if acc is None:
+                continue
+            acc = np.asarray(acc, float)
+            if acc.size < 4:
+                continue
+            trial_dur = (t_end - t_start).total_seconds()
+            t_rel = data_integration.build_accuracy_relative_time_axis(
+                len(acc), trial_dur,
+                start_offset_sec=(
+                    data_integration.TRIAL_ACCURACY_START_OFFSET_SEC))
+            if len(t_rel) != len(acc):
+                continue
+            cond_vals = log_df.loc[sel, cond_col].dropna() \
+                if cond_col in log_df.columns else pd.Series(["all"])
+            cond = str(cond_vals.iloc[0]) if len(cond_vals) else "all"
+            cycles = data_analysis.phase_normalize_cycles(
+                signal=acc[:, None], t_rel=np.asarray(t_rel, float),
+                task_freq=task_freq, trial_dur_sec=trial_dur,
+                phase_grid=phase_grid,
+                min_samples_per_cycle=cfg.min_samples_per_cycle,
+                verbose=False)
+            for prof in cycles:
+                by_cond.setdefault(cond, []).append(
+                    np.asarray(prof).reshape(len(phase_grid)))
+    return by_cond

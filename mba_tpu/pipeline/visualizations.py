@@ -82,15 +82,24 @@ def plot_spectrogram(spectrogram: np.ndarray,
                      vlim: tuple | None = None,
                      frequency_range: tuple | None = None,
                      colorbar_label: str = "Power",
+                     phase_series: pd.Series | None = None,
                      save_dir: str | Path | None = None,
                      show: bool = False):
-    """Time × frequency imshow spectrogram (reference :589-921)."""
-    fig, ax = plt.subplots(figsize=(10, 5))
+    """Time × frequency imshow spectrogram (reference :589-921), with an
+    optional experiment-phase strip below (``phase_series``: Phase labels
+    indexed by time, reference :846-903)."""
     spec = np.asarray(spectrogram)
     t = (timestamps if timestamps is not None
          else np.arange(spec.shape[0]))
     f = (frequencies if frequencies is not None
          else np.arange(spec.shape[1]))
+    if phase_series is not None:
+        fig, (ax, ax_phase) = plt.subplots(
+            2, 1, figsize=(10, 6), sharex=False,
+            gridspec_kw={"height_ratios": (5, 1), "hspace": 0.35})
+    else:
+        fig, ax = plt.subplots(figsize=(10, 5))
+        ax_phase = None
     if frequency_range is not None and frequencies is not None:
         sel = (f >= frequency_range[0]) & (f <= frequency_range[1])
         spec = spec[:, sel]
@@ -103,6 +112,9 @@ def plot_spectrogram(spectrogram: np.ndarray,
     ax.set_ylabel("Frequency [Hz]")
     ax.set_title(title)
     fig.colorbar(im, ax=ax, label=colorbar_label)
+    if ax_phase is not None:
+        plot_phase_band_subplot(ax_phase, phase_series,
+                                (float(t[0]), float(t[-1])))
     if save_dir is not None:
         smart_save_fig(save_dir, title, fig=fig)
     if show:
@@ -722,3 +734,601 @@ def plot_cross_resolution_results(results_df: pd.DataFrame,
     if not show:
         plt.close(fig)
     return fig
+
+
+# ══════════════════════════════════════════════════════════════════════
+#  time-resolution forest family (reference :2011-2341)
+# ══════════════════════════════════════════════════════════════════════
+def draw_time_resolution_forest_plot(
+        ax,
+        effects_frame: pd.DataFrame,
+        parameter: str,
+        comparison_level,
+        n_segments_column: str = "N. Segments",
+        hypothesis: str | None = None,
+        hypothesis_column: str = "Hypothesis",
+        param_column: str = "Parameter",
+        comparison_lvl_column: str = "Comparison_Level",
+        model_type_column: str = "Model_Type",
+        coeff_column: str = "Coefficient",
+        se_column: str = "SE",
+        p_column: str = "p_value",
+        y_axis_label: str = "Model Time Resolution [sec]",
+        CI_z_score: float = 1.96,
+        significant_pos_color: str = "green",
+        significant_neg_color: str = "red",
+        insignificant_color: str = "#AAAAAA",
+        include_y_labels: bool = True,
+        rename_dict: dict | None = None,
+        show_hypothesis_number: bool = False,
+):
+    """Forest plot of ONE parameter at ONE comparison level across time
+    resolutions (reference :2011-2227): the y-axis holds one row per
+    (time resolution × model type); markers are colored by significance
+    and coefficient sign; whiskers are ±z·SE."""
+    sel = ((effects_frame[param_column] == parameter)
+           & (effects_frame[comparison_lvl_column] == comparison_level))
+    if hypothesis is not None:
+        sel &= effects_frame[hypothesis_column] == hypothesis
+    sub = effects_frame[sel].copy()
+    if sub.empty:
+        ax.text(0.5, 0.5, "no rows", ha="center", va="center",
+                transform=ax.transAxes, color="gray")
+        return ax
+
+    sub = sub.sort_values([n_segments_column, model_type_column])
+    labels, y = [], 0
+    for _, row in sub.iterrows():
+        coeff = float(row[coeff_column])
+        se = float(pd.to_numeric(row[se_column], errors="coerce"))
+        p = float(pd.to_numeric(row[p_column], errors="coerce"))
+        if np.isfinite(p) and p < 0.05:
+            color = (significant_pos_color if coeff > 0
+                     else significant_neg_color)
+        else:
+            color = insignificant_color
+        ax.errorbar(coeff, y, xerr=CI_z_score * se, fmt="o", color=color,
+                    ecolor=color, capsize=3, markersize=5)
+        labels.append(f"{row[n_segments_column]} · "
+                      f"{row[model_type_column]}")
+        y += 1
+    ax.axvline(0.0, color="black", lw=0.8, ls="--", alpha=0.6)
+    ax.set_yticks(range(len(labels)))
+    ax.set_yticklabels(labels if include_y_labels else [""] * len(labels),
+                       fontsize=7)
+    if include_y_labels:
+        ax.set_ylabel(y_axis_label, fontsize=8)
+    shown = (rename_dict or {}).get(parameter, parameter)
+    if show_hypothesis_number and hypothesis is not None:
+        shown = f"{hypothesis}\n{shown}"
+    elif hypothesis is not None:
+        shown = f"{hypothesis.split(':')[0]}\n{shown}" \
+            if ":" in str(hypothesis) else shown
+    ax.set_title(shown, fontsize=8)
+    ax.grid(alpha=0.25, axis="x")
+    return ax
+
+
+def plot_time_resolution_forest_mosaic(
+        result_frame: pd.DataFrame,
+        hypotheses: list,
+        parameter: str,
+        comparison_level,
+        n_segments_column: str = "N. Segments",
+        exclude_intercepts: bool = True,
+        model_type: str | None = None,
+        y_axis_label: str = "Intra-Trial Segments",
+        output_dir: str | Path | None = None,
+        file_identifier_suffix: str | None = None,
+        hidden: bool = True,
+        plot_size="auto",
+        significance_source: str = "auto",
+        rename_dict: dict | None = None,
+        show_hypothesis_number: bool = False,
+        hypothesis_column: str = "Hypothesis",
+):
+    """Mosaic of time-resolution forest plots — one column per hypothesis,
+    all showing one parameter at one comparison level (reference
+    :2230-2341).  ``significance_source='auto'`` prefers the FDR-adjusted
+    p column when present."""
+    frame = result_frame
+    if exclude_intercepts and "Parameter" in frame.columns:
+        frame = frame[~frame["Parameter"].astype(str)
+                      .str.lower().str.startswith(("intercept", "const"))]
+    if model_type is not None:
+        frame = frame[frame["Model_Type"] == model_type]
+
+    p_col = "p_value"
+    if significance_source in ("fdr", "auto") \
+            and "p_value_fdr" in frame.columns \
+            and frame["p_value_fdr"].notna().any():
+        p_col = "p_value_fdr"
+
+    n = max(len(hypotheses), 1)
+    if plot_size == "auto":
+        plot_size = (2.2 * n + 1.5, 3.2)
+    fig, axes = plt.subplots(1, n, figsize=plot_size, sharex=True)
+    axes = np.atleast_1d(axes)
+    for i, (ax, hyp) in enumerate(zip(axes, hypotheses)):
+        draw_time_resolution_forest_plot(
+            ax, frame, parameter, comparison_level,
+            n_segments_column=n_segments_column, hypothesis=hyp,
+            hypothesis_column=hypothesis_column, p_column=p_col,
+            y_axis_label=y_axis_label, include_y_labels=(i == 0),
+            rename_dict=rename_dict,
+            show_hypothesis_number=show_hypothesis_number)
+    fig.suptitle(f"{parameter} @ {comparison_level}", fontsize=9)
+    fig.tight_layout()
+    if output_dir is not None:
+        suffix = f" {file_identifier_suffix}" if file_identifier_suffix \
+            else ""
+        smart_save_fig(output_dir,
+                       f"Time Resolution Forest {parameter[:40]}{suffix}",
+                       fig=fig)
+    if hidden:
+        plt.close(fig)
+    return fig
+
+
+# ══════════════════════════════════════════════════════════════════════
+#  CMC line-plot family (reference :2446-2793)
+# ══════════════════════════════════════════════════════════════════════
+def _cmc_threshold(n_tapers: int, alpha: float) -> float:
+    from mba_tpu.ops.coherence import cmc_independence_threshold
+    return cmc_independence_threshold(n_tapers, alpha=alpha)
+
+
+def plot_cmc_lineplots_per_category(
+        all_subject_data_frame: pd.DataFrame,
+        category_column: str,
+        muscle: str,
+        cmc_operator: str,
+        n_within_trial_segments: int,
+        bands: tuple = ("beta", "gamma"),
+        cmc_plot_min: float | None = None,
+        cmc_plot_max: float | None = None,
+        include_std_dev: bool = True,
+        std_dev_factor: float = 0.2,
+        colormap="tab10",
+        save_dir: str | Path | None = None,
+        show_significance_threshold: bool = True,
+        n_tapers: int = 5,
+        alpha: float = 0.2,
+        subject_ids_subset: list | None = None,
+        plot_size: tuple = (12, 6),
+        show_legend: bool = True,
+        show: bool = False,
+) -> dict:
+    """CMC across within-trial segments, one line per category (reference
+    :2446-2630).  Consumes the combined-statistics frame's
+    ``CMC_{muscle}_{operator}_{band}`` DVs with 'Segment ID' as trial
+    time; mean across (subjects × trials) per category, optional ±factor·SD
+    band and the Beta(K−2,K−2) independence threshold line."""
+    frame = all_subject_data_frame
+    if subject_ids_subset is not None:
+        frame = frame[frame["Subject ID"].isin(subject_ids_subset)]
+    if isinstance(colormap, (list, tuple)):
+        colors = list(colormap)
+    else:
+        cmap = plt.colormaps[colormap]
+        colors = [cmap(i) for i in range(20)]
+
+    figures = {}
+    for band in bands:
+        col = f"CMC_{muscle}_{cmc_operator}_{band}"
+        if col not in frame.columns:
+            continue
+        fig, ax = plt.subplots(figsize=plot_size)
+        for ci, (cat, grp) in enumerate(frame.groupby(category_column)):
+            by_seg = grp.groupby("Segment ID")[col]
+            x = by_seg.mean().index.to_numpy()
+            mean = by_seg.mean().to_numpy()
+            ax.plot(x, mean, color=colors[ci % len(colors)], lw=1.6,
+                    label=str(cat))
+            if include_std_dev:
+                sd = by_seg.std().to_numpy()
+                ax.fill_between(x, mean - std_dev_factor * sd,
+                                mean + std_dev_factor * sd,
+                                color=colors[ci % len(colors)], alpha=0.15)
+        if show_significance_threshold:
+            thr = _cmc_threshold(n_tapers, alpha)
+            ax.axhline(thr, color="black", ls=":", lw=1,
+                       label=f"independence threshold (α={alpha})")
+        if cmc_plot_min is not None or cmc_plot_max is not None:
+            ax.set_ylim(cmc_plot_min, cmc_plot_max)
+        ax.set_xlabel(f"Within-trial segment "
+                      f"(of {n_within_trial_segments})")
+        ax.set_ylabel(f"{muscle} CMC ({cmc_operator}, {band})")
+        if show_legend:
+            ax.legend(fontsize=7)
+        ax.grid(alpha=0.25)
+        title = (f"CMC per {category_column} {muscle} {cmc_operator} "
+                 f"{band} {n_within_trial_segments}seg")
+        if save_dir is not None:
+            smart_save_fig(save_dir, title, fig=fig)
+        if not show:
+            plt.close(fig)
+        figures[band] = fig
+    return figures
+
+
+def plot_cmc_lineplot_normalised(
+        all_subject_data_frame: pd.DataFrame,
+        muscle: str,
+        cmc_operator: str,
+        n_within_trial_segments: int,
+        bands: tuple = ("beta", "gamma"),
+        cmc_plot_min: float = 80.0,
+        cmc_plot_max: float = 120.0,
+        trial_color: str = "tab:blue",
+        trial_alpha: float = 0.4,
+        line_width: float = 0.8,
+        corridor_std_factor: float = 0.5,
+        corridor_color: str = "grey",
+        corridor_alpha: float = 0.15,
+        save_dir: str | Path | None = None,
+        subject_ids_subset: list | None = None,
+        plot_size: tuple = (12, 6),
+        show: bool = False,
+) -> dict:
+    """Per-trial CMC time courses normalised to each trial's own mean
+    (= 100 %), with a cross-trial mean ± factor·SD corridor (reference
+    :2632-2793) — exposes within-trial dynamics independent of the
+    between-trial level differences."""
+    frame = all_subject_data_frame
+    if subject_ids_subset is not None:
+        frame = frame[frame["Subject ID"].isin(subject_ids_subset)]
+
+    figures = {}
+    for band in bands:
+        col = f"CMC_{muscle}_{cmc_operator}_{band}"
+        if col not in frame.columns:
+            continue
+        fig, ax = plt.subplots(figsize=plot_size)
+        profiles = []
+        for (_, _), grp in frame.groupby(["Subject ID", "Trial ID"]):
+            grp = grp.sort_values("Segment ID")
+            vals = grp[col].to_numpy(dtype=float)
+            if len(vals) < 2 or not np.isfinite(vals).all() \
+                    or vals.mean() == 0:
+                continue
+            prof = 100.0 * vals / vals.mean()
+            ax.plot(grp["Segment ID"], prof, color=trial_color,
+                    alpha=trial_alpha, lw=line_width)
+            profiles.append(prof)
+        if profiles:
+            lens = {len(p) for p in profiles}
+            if len(lens) == 1:
+                arr = np.stack(profiles)
+                x = np.arange(arr.shape[1])
+                m, sd = arr.mean(axis=0), arr.std(axis=0)
+                ax.plot(x, m, color="black", lw=1.8, label="mean")
+                ax.fill_between(x, m - corridor_std_factor * sd,
+                                m + corridor_std_factor * sd,
+                                color=corridor_color,
+                                alpha=corridor_alpha,
+                                label=f"±{corridor_std_factor}·SD")
+        ax.set_ylim(cmc_plot_min, cmc_plot_max)
+        ax.set_xlabel(f"Within-trial segment "
+                      f"(of {n_within_trial_segments})")
+        ax.set_ylabel(f"{muscle} CMC ({cmc_operator}, {band}) "
+                      f"[% of trial mean]")
+        ax.axhline(100.0, color="black", lw=0.8, ls="--", alpha=0.5)
+        ax.grid(alpha=0.25)
+        title = (f"Normalised CMC {muscle} {cmc_operator} {band} "
+                 f"{n_within_trial_segments}seg")
+        if save_dir is not None:
+            smart_save_fig(save_dir, title, fig=fig)
+        if not show:
+            plt.close(fig)
+        figures[band] = fig
+    return figures
+
+
+# ══════════════════════════════════════════════════════════════════════
+#  phase-average figure family (reference :3143-4029)
+# ══════════════════════════════════════════════════════════════════════
+def target_sine_values(x: np.ndarray, cfg) -> np.ndarray:
+    """Target-force sine in %MVC (reference :3879-3903): starts at the
+    mid value at x=0; ``x`` is phase in degrees under phase
+    normalisation, seconds otherwise."""
+    x = np.asarray(x, float)
+    mid = 0.5 * (cfg.target_sine_min_pct_mvc + cfg.target_sine_max_pct_mvc)
+    amp = 0.5 * (cfg.target_sine_max_pct_mvc - cfg.target_sine_min_pct_mvc)
+    if getattr(cfg, "use_phase_normalization", False):
+        rad = 2.0 * np.pi * x / 360.0
+    else:
+        rad = 2.0 * np.pi * cfg.target_sine_frequency_hz * x
+    return mid + amp * np.sin(rad)
+
+
+def plot_target_sine_panel(ax, x: np.ndarray, cfg, x_label: str,
+                           show_ylabel: bool = True,
+                           dynamometer_force_y: np.ndarray | None = None,
+                           dynamometer_force_sd: np.ndarray | None = None,
+                           is_unscaled_force: bool = True):
+    """Bottom strip: the task's target sine, optionally overlaid with the
+    measured mean dynamometer force ± SD (reference :3905-4029)."""
+    y = target_sine_values(x, cfg)
+    ax.plot(x, y, color="tab:green", lw=1.4, label="target")
+    if dynamometer_force_y is not None:
+        ax.plot(x, dynamometer_force_y, color="tab:orange", lw=1.2,
+                label="measured force")
+        if dynamometer_force_sd is not None:
+            ax.fill_between(x, dynamometer_force_y - dynamometer_force_sd,
+                            dynamometer_force_y + dynamometer_force_sd,
+                            color="tab:orange", alpha=0.2)
+    ax.set_xlim(float(x[0]), float(x[-1]))
+    ax.set_xlabel(x_label, fontsize=8)
+    if show_ylabel:
+        ax.set_ylabel("Force\n[%MVC]" if not is_unscaled_force
+                      else "Force", fontsize=8)
+    ax.tick_params(labelsize=7)
+    ax.grid(alpha=0.25)
+    return ax
+
+
+def load_avg_dynamometer_force_per_phase(
+        subject_ids: list,
+        experiment_results_dir: str | Path,
+        phase_grid: np.ndarray,
+        cfg,
+        use_unscaled_force: bool = True,
+        return_std: bool = False,
+):
+    """Average phase-normalised dynamometer force across all trials of all
+    subjects (reference :3736-3876): per trial, the (scaled or raw) force
+    from the enriched serial frame is cycle-segmented at the trial's task
+    frequency and interpolated onto ``phase_grid``; profiles are averaged
+    across every cycle of every trial of every subject."""
+    from mba_tpu.pipeline import data_integration as di
+    from mba_tpu.pipeline import data_analysis as da
+
+    experiment_results_dir = Path(experiment_results_dir)
+    col = "fsr" if use_unscaled_force else "Task-wise Scaled Force"
+    profiles = []
+    for subject in subject_ids:
+        sdir = experiment_results_dir / f"subject_{int(subject):02}"
+        try:
+            serial = di.fetch_enriched_serial_frame(sdir)
+            log_df = di.fetch_enriched_log_frame(sdir, verbose=False)
+        except (FileNotFoundError, ValueError):
+            continue
+        if col not in serial.columns:
+            alt = [c for c in serial.columns
+                   if c.lower() in ("fsr", "force")]
+            if not alt:
+                continue
+            use_col = alt[0]
+        else:
+            use_col = col
+        spans = di.get_all_task_start_ends(log_df, "dict")
+        for trial_id, (t_start, t_end) in spans.items():
+            sel = log_df["Trial ID"] == trial_id
+            freqs = pd.to_numeric(log_df.loc[sel, "Task Frequency"],
+                                  errors="coerce").dropna()
+            if freqs.empty or freqs.iloc[0] <= 0:
+                continue
+            task_freq = float(freqs.iloc[0])
+            seg = serial.loc[t_start:t_end, use_col].dropna()
+            if len(seg) < 4:
+                continue
+            t_rel = (seg.index - t_start).total_seconds().to_numpy()
+            cycles = da.phase_normalize_cycles(
+                signal=seg.to_numpy(float)[:, None], t_rel=t_rel,
+                task_freq=task_freq,
+                trial_dur_sec=(t_end - t_start).total_seconds(),
+                phase_grid=phase_grid,
+                min_samples_per_cycle=cfg.min_samples_per_cycle,
+                verbose=False)
+            for prof in cycles:
+                profiles.append(np.asarray(prof).reshape(len(phase_grid)))
+    if not profiles:
+        return (None, None) if return_std else None
+    arr = np.stack(profiles)
+    mean = np.nanmean(arr, axis=0)
+    if return_std:
+        return mean, np.nanstd(arr, axis=0)
+    return mean
+
+
+def _phase_map_panel(ax, phase_grid, data_map, ch_labels, vlims, cmap,
+                     phase_xticks, phase_marker_lines, title):
+    im = ax.imshow(np.asarray(data_map).T, aspect="auto", origin="lower",
+                   cmap=cmap,
+                   extent=[float(phase_grid[0]), float(phase_grid[-1]),
+                           -0.5, data_map.shape[1] - 0.5],
+                   vmin=vlims[0], vmax=vlims[1])
+    for pm in phase_marker_lines:
+        ax.axvline(pm, color="white", lw=0.6, ls="--", alpha=0.7)
+    ax.set_xticks(list(phase_xticks))
+    if ch_labels is not None:
+        ax.set_yticks(range(len(ch_labels)))
+        ax.set_yticklabels(ch_labels, fontsize=6)
+    ax.set_title(title, fontsize=9)
+    ax.tick_params(labelsize=7)
+    return im
+
+
+def plot_cmc_accuracy_phase_average(
+        phase_grid: np.ndarray,
+        cmc_map: np.ndarray,
+        accuracy_profiles: dict,
+        cfg=None,
+        map_grid: np.ndarray | None = None,
+        cmc_channel_labels: list | None = None,
+        accuracy_sd_factor: float = 0.25,
+        cmc_percentile_limits: tuple = (3.0, 97.0),
+        phase_xticks: tuple = (0.0, 90.0, 180.0, 270.0, 360.0),
+        phase_marker_lines: tuple = (90.0, 270.0),
+        force_mean: np.ndarray | None = None,
+        force_sd: np.ndarray | None = None,
+        save_dir: str | Path | None = None,
+        title: str = "CMC + accuracy phase average",
+        show: bool = False,
+):
+    """CBPA-style phase figure (reference :3143-3516): left panel the
+    cohort-mean CMC map over (phase × EEG channel) with percentile color
+    limits; right panel the phase-normalised accuracy profiles per
+    condition (mean ± factor·SD); optional bottom strip with the target
+    sine + measured force (when ``cfg.show_target_sine``).
+
+    Data-first divergence from the reference: the maps/profiles arrive as
+    arrays (produced by pipeline.cbpa / phase_normalize_cycles) instead of
+    being loaded from the artifact store inside the plot function.
+    """
+    with_sine = cfg is not None and bool(
+        getattr(cfg, "show_target_sine", False))
+    nrows = 2 if with_sine else 1
+    fig = plt.figure(figsize=(12, 6 if with_sine else 5))
+    gs = fig.add_gridspec(nrows, 4, width_ratios=(1.0, 0.05, 0.14, 1.0),
+                          height_ratios=(5.0, 1.0) if with_sine else None,
+                          wspace=0.25, hspace=0.3)
+    ax_map = fig.add_subplot(gs[0, 0])
+    ax_cb = fig.add_subplot(gs[0, 1])
+    ax_acc = fig.add_subplot(gs[0, 3])
+
+    vlims = np.percentile(cmc_map, cmc_percentile_limits)
+    mgrid = phase_grid if map_grid is None else np.asarray(map_grid)
+    phase_mode = map_grid is None
+    im = _phase_map_panel(ax_map, mgrid, cmc_map, cmc_channel_labels,
+                          vlims, "viridis",
+                          phase_xticks if phase_mode else
+                          np.linspace(mgrid[0], mgrid[-1], 5),
+                          phase_marker_lines if phase_mode else (),
+                          "mean CMC")
+    ax_map.set_xlabel("Phase [deg]" if phase_mode else "Time [s]",
+                      fontsize=8)
+    fig.colorbar(im, cax=ax_cb, label="CMC")
+
+    for cond, profs in accuracy_profiles.items():
+        arr = np.stack([np.asarray(p).reshape(len(phase_grid))
+                        for p in profs])
+        m = np.nanmean(arr, axis=0)
+        sd = np.nanstd(arr, axis=0)
+        line, = ax_acc.plot(phase_grid, m, lw=1.5, label=str(cond))
+        ax_acc.fill_between(phase_grid, m - accuracy_sd_factor * sd,
+                            m + accuracy_sd_factor * sd,
+                            color=line.get_color(), alpha=0.15)
+    for pm in phase_marker_lines:
+        ax_acc.axvline(pm, color="gray", lw=0.6, ls="--", alpha=0.7)
+    ax_acc.set_xticks(list(phase_xticks))
+    ax_acc.set_xlabel("Phase [deg]", fontsize=8)
+    ax_acc.set_ylabel("Accuracy (squared error)", fontsize=8)
+    ax_acc.legend(fontsize=7)
+    ax_acc.grid(alpha=0.25)
+    ax_acc.set_title("phase-normalised accuracy", fontsize=9)
+
+    if with_sine:
+        ax_sine = fig.add_subplot(gs[1, 0])
+        plot_target_sine_panel(ax_sine, phase_grid, cfg, "Phase [deg]",
+                               dynamometer_force_y=force_mean,
+                               dynamometer_force_sd=force_sd)
+    if save_dir is not None:
+        smart_save_fig(save_dir, title, fig=fig)
+    if not show:
+        plt.close(fig)
+    return fig
+
+
+def plot_emg_psd_phase_average_plot(
+        phase_grid: np.ndarray,
+        flexor_map: np.ndarray,
+        extensor_map: np.ndarray,
+        cfg=None,
+        emg_percentile_limits: tuple = (3.0, 97.0),
+        phase_xticks: tuple = (0.0, 90.0, 180.0, 270.0, 360.0),
+        phase_marker_lines: tuple = (90.0, 270.0),
+        show_channel_labels: bool = True,
+        force_mean: np.ndarray | None = None,
+        force_sd: np.ndarray | None = None,
+        save_dir: str | Path | None = None,
+        title: str = "EMG PSD phase average",
+        show: bool = False,
+):
+    """Phase-normalised average EMG-PSD figure, flexor left / extensor
+    right with a shared color scale (reference :3519-3733); optional
+    bottom target-sine strip with measured force.  Maps are
+    (n_phase_bins × n_emg_channels)."""
+    with_sine = cfg is not None and bool(
+        getattr(cfg, "show_target_sine", False))
+    nrows = 2 if with_sine else 1
+    fig = plt.figure(figsize=(12, 6 if with_sine else 5))
+    gs = fig.add_gridspec(nrows, 4, width_ratios=(1.0, 0.05, 0.14, 1.0),
+                          height_ratios=(5.0, 1.0) if with_sine else None,
+                          wspace=0.25, hspace=0.3)
+    ax_fl = fig.add_subplot(gs[0, 0])
+    ax_cb = fig.add_subplot(gs[0, 1])
+    ax_ex = fig.add_subplot(gs[0, 3])
+
+    both = np.concatenate([np.asarray(flexor_map).ravel(),
+                           np.asarray(extensor_map).ravel()])
+    vlims = np.percentile(both, emg_percentile_limits)
+    labels = ([f"EMG{i:02d}" for i in range(flexor_map.shape[1])]
+              if show_channel_labels else None)
+    im = _phase_map_panel(ax_fl, phase_grid, flexor_map, labels, vlims,
+                          "magma", phase_xticks, phase_marker_lines,
+                          "Flexor EMG PSD")
+    _phase_map_panel(ax_ex, phase_grid, extensor_map, labels, vlims,
+                     "magma", phase_xticks, phase_marker_lines,
+                     "Extensor EMG PSD")
+    ax_fl.set_xlabel("Phase [deg]", fontsize=8)
+    ax_ex.set_xlabel("Phase [deg]", fontsize=8)
+    fig.colorbar(im, cax=ax_cb, label="PSD")
+
+    if with_sine:
+        ax_sine = fig.add_subplot(gs[1, 0])
+        plot_target_sine_panel(ax_sine, phase_grid, cfg, "Phase [deg]",
+                               dynamometer_force_y=force_mean,
+                               dynamometer_force_sd=force_sd)
+    if save_dir is not None:
+        smart_save_fig(save_dir, title, fig=fig)
+    if not show:
+        plt.close(fig)
+    return fig
+
+
+def plot_phase_band_subplot(ax_phase, phase_series: pd.Series,
+                            time_extent: tuple,
+                            phase_cmap: str = "tab10"):
+    """Experiment-phase strip under a spectrogram: contiguous phase
+    stretches as shaded, labeled spans (reference :846-903)."""
+    import textwrap
+
+    ax_phase.set_ylim(0, 1)
+    ax_phase.set_xlim(*time_extent)
+    ax_phase.set_yticks([])
+    ax_phase.set_ylabel("Phase", fontsize=9)
+    for side in ("top", "right", "left"):
+        ax_phase.spines[side].set_visible(False)
+    clean = phase_series.dropna() if phase_series is not None else None
+    if clean is None or len(clean) == 0:
+        ax_phase.text(0.5, 0.5, "No phases within time snippet",
+                      ha="center", va="center",
+                      transform=ax_phase.transAxes, fontsize=9,
+                      color="gray")
+        return ax_phase
+
+    if isinstance(phase_series.index, pd.DatetimeIndex):
+        secs = ((phase_series.index - phase_series.index[0])
+                .total_seconds())
+        times = pd.Series(np.asarray(secs))
+    else:
+        times = pd.Series(np.asarray(phase_series.index, float))
+    filled = phase_series.fillna("No phase").reset_index(drop=True)
+    run_ids = (filled != filled.shift(1)).cumsum()
+    cmap = plt.colormaps[phase_cmap]
+    uniq = [p for p in filled.unique() if p != "No phase"]
+    color_of = {p: cmap(i / max(len(uniq), 1))
+                for i, p in enumerate(uniq)}
+    for rid, grp in filled.groupby(run_ids):
+        phase = grp.iloc[0]
+        if phase == "No phase":
+            continue
+        start = float(times[grp.index].min())
+        end = float(times[grp.index].max())
+        ax_phase.axvspan(start, end, alpha=0.6, color=color_of[phase])
+        ax_phase.text((start + end) / 2, 0.5,
+                      textwrap.fill(str(phase), 12), ha="center",
+                      va="center", fontsize=7)
+    return ax_phase

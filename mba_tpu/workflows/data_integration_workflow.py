@@ -29,16 +29,25 @@ ENRICHED_AMENDMENTS: dict[int, list] = {}
 def integrate_subject(subject: int, experiment_data_dir: Path,
                       validate: bool = True,
                       repair_questionnaires: bool = True,
-                      avg_end_delay_seconds: float = 6.0
+                      avg_end_delay_seconds: float = 6.0,
+                      curation: SubjectCuration | str | None = None
                       ) -> pd.DataFrame:
-    """Raw log → curated, validated, enriched log (saved)."""
+    """Raw log → curated, validated, enriched log (saved).
+
+    ``curation``: a :class:`SubjectCuration` record, the string
+    ``"study"`` to apply the committed study registry for this subject
+    (what the ``__main__`` run does — reference :54-328), or None for
+    plain enrichment (arbitrary / non-study data).
+    """
     subject_dir = Path(experiment_data_dir) / f"subject_{subject:02}"
     raw = di.fetch_experiment_log(subject_dir)
     for amend in RAW_LOG_AMENDMENTS.get(subject, []):
         raw = amend(raw)
-    curation = STUDY_CURATION.get(subject, SubjectCuration())
+    if curation == "study":
+        curation = STUDY_CURATION.get(subject, SubjectCuration())
     raw, enriched = apply_subject_curation(
-        raw, curation, avg_end_delay_seconds=avg_end_delay_seconds)
+        raw, curation or SubjectCuration(),
+        avg_end_delay_seconds=avg_end_delay_seconds)
     for amend in ENRICHED_AMENDMENTS.get(subject, []):
         enriched = amend(enriched)
 
@@ -73,4 +82,5 @@ if __name__ == "__main__":
     subjects = list(range(12))
     paths = StudyPaths().ensure()
     for subject in subjects:
-        integrate_subject(subject, paths.experiment_data)
+        integrate_subject(subject, paths.experiment_data,
+                          curation="study")

@@ -157,6 +157,23 @@ def run_omnibus(feature_data_dir: Path, statistics_output_dir: Path,
                      == min(n_within_trial_segments_list)],
             title="RQ-A Forest Mosaic (primary resolution)",
             save_dir=statistics_output_dir)
+        # cross-resolution view: one forest column per hypothesis, y-axis
+        # = time resolutions (reference omnibus workflow :607-645 →
+        # visualizations.py:2011/2230)
+        if len(n_within_trial_segments_list) > 1:
+            non_int = combined[~combined["Parameter"].astype(str)
+                               .str.lower()
+                               .str.startswith(("intercept", "const"))]
+            if not non_int.empty:
+                top = non_int["Parameter"].value_counts().index[0]
+                lvl = non_int.loc[non_int["Parameter"] == top,
+                                  "Comparison_Level"].iloc[0]
+                hyps = sorted(non_int.loc[
+                    non_int["Parameter"] == top, "Hypothesis"]
+                    .dropna().unique())[:6]
+                visualizations.plot_time_resolution_forest_mosaic(
+                    combined, hyps, top, lvl,
+                    output_dir=statistics_output_dir)
     return combined
 
 

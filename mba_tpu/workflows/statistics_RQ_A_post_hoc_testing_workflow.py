@@ -11,9 +11,77 @@ from __future__ import annotations
 
 from pathlib import Path
 
-from mba_tpu.pipeline.cbpa import CBPAConfig, run_batch
+import numpy as np
+
+from mba_tpu.pipeline.cbpa import (CBPAConfig, run_batch,
+                                   assemble_phase_average_maps,
+                                   assemble_accuracy_phase_profiles)
 from mba_tpu.pipeline.heterogeneity_modelling import \
     run_heterogeneity_modelling
+
+
+def make_phase_average_figures(data_root: Path, output_dir: Path,
+                               experiment_results_dir: Path,
+                               subject_ids: list[int],
+                               band: str = "beta",
+                               muscle: str = "Flexor",
+                               use_phase_normalization: bool = True,
+                               n_phase_bins: int = 36) -> dict:
+    """CMC-accuracy and EMG-PSD phase-average figures (reference
+    statistics_RQ_A_post_hoc_testing_workflow.py:472-485 →
+    visualizations.py:3143-3733): cohort phase maps assembled from the
+    stored spectrograms, accuracy profiles from the trial accuracy CSVs,
+    and the measured dynamometer force under the target sine."""
+    from mba_tpu.pipeline import visualizations as viz
+
+    def cfg_for(modality, file_id):
+        return CBPAConfig(
+            modality=modality, modality_file_id=file_id, freq_band=band,
+            condition_column="Category or Silence",
+            condition_A="_", condition_B="_",
+            use_phase_normalization=use_phase_normalization,
+            n_phase_bins=n_phase_bins, show_target_sine=True,
+            data_root=data_root, output_dir=output_dir,
+            hypothesis_label=f"phase_avg_{modality}_{file_id}",
+            save_plots=False, show_plots=False)
+
+    cfg_cmc = cfg_for("CMC", muscle)
+    grid, cmc_map, ch_names = assemble_phase_average_maps(
+        cfg_cmc, subject_ids=subject_ids)
+    accuracy = assemble_accuracy_phase_profiles(
+        cfg_cmc, experiment_results_dir, subject_ids)
+    phase_grid = (grid if use_phase_normalization
+                  else np.linspace(0, 360, n_phase_bins, endpoint=False))
+    force_mean = force_sd = None
+    if use_phase_normalization:
+        force_mean, force_sd = viz.load_avg_dynamometer_force_per_phase(
+            subject_ids, experiment_results_dir, phase_grid, cfg_cmc,
+            return_std=True)
+    out = {"accuracy_conditions": sorted(accuracy)}
+    viz.plot_cmc_accuracy_phase_average(
+        phase_grid, cmc_map,
+        accuracy or {"all": [np.zeros(len(phase_grid))]},
+        cfg=cfg_cmc if use_phase_normalization else None,
+        cmc_channel_labels=ch_names, force_mean=force_mean,
+        force_sd=force_sd, save_dir=output_dir,
+        title=f"CMC Accuracy Phase Average {muscle} {band}")
+    out["cmc_map_shape"] = tuple(cmc_map.shape)
+
+    try:
+        _, flexor_map, _ = assemble_phase_average_maps(
+            cfg_for("PSD", "emg_1_flexor"), subject_ids=subject_ids)
+        _, extensor_map, _ = assemble_phase_average_maps(
+            cfg_for("PSD", "emg_2_extensor"), subject_ids=subject_ids)
+        viz.plot_emg_psd_phase_average_plot(
+            phase_grid, flexor_map, extensor_map,
+            cfg=cfg_cmc if use_phase_normalization else None,
+            force_mean=force_mean, force_sd=force_sd,
+            save_dir=output_dir,
+            title=f"EMG PSD Phase Average {band}")
+        out["emg_map_shape"] = tuple(flexor_map.shape)
+    except RuntimeError as exc:
+        print(f"[phase figures] EMG PSD maps unavailable: {exc}")
+    return out
 
 
 def build_cbpa_configs(data_root: Path, output_dir: Path,
@@ -47,11 +115,21 @@ def run_post_hoc(data_root: Path, output_dir: Path,
                  n_permutations: int = 1000,
                  run_cbpa_batch: bool = True,
                  run_heterogeneity: bool = True,
+                 make_phase_figures: bool = True,
+                 subject_ids: list[int] | None = None,
                  heterogeneity_dep_vars=None) -> None:
     if run_cbpa_batch:
         configs = build_cbpa_configs(data_root, output_dir,
                                      n_permutations)
         run_batch(configs)
+
+    if make_phase_figures:
+        try:
+            make_phase_average_figures(
+                data_root, output_dir, experiment_results_dir,
+                subject_ids or list(range(12)))
+        except RuntimeError as exc:
+            print(f"[post-hoc] phase-average figures skipped: {exc}")
 
     if run_heterogeneity:
         run_heterogeneity_modelling(

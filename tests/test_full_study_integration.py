@@ -264,6 +264,36 @@ class TestFullStudy:
         assert list(out.glob("*CBPA Results*.npz")) or \
             list(out.glob("*toy_Happy_vs_Silence*"))
 
+    def test_phase_average_figures(self, study):
+        """The CMC-accuracy + EMG-PSD phase-average figures render from
+        the study's real artifact store (reference post-hoc workflow
+        :472-485)."""
+        from unittest.mock import patch
+        from mba_tpu.pipeline.cbpa import CBPAConfig
+        from mba_tpu.workflows.\
+            statistics_RQ_A_post_hoc_testing_workflow import (
+                make_phase_average_figures)
+
+        out = study["out_dir"] / "phase_figures"
+        # compressed synthetic trials: shorten the assumed latencies the
+        # same way the CBPA test does
+        orig_init = CBPAConfig.__init__
+
+        def fast_init(self, *a, **kw):
+            kw.setdefault("cmc_time_window_sec", 0.5)
+            kw.setdefault("psd_time_window_sec", 0.25)
+            kw.setdefault("task_latency_assumption_sec", 0.1)
+            kw.setdefault("task_end_cutoff_sec", 0.05)
+            orig_init(self, *a, **kw)
+
+        with patch.object(CBPAConfig, "__init__", fast_init):
+            res = make_phase_average_figures(
+                study["root"], out, study["exp_data"],
+                subject_ids=list(range(N_SUBJECTS)),
+                use_phase_normalization=False)
+        assert list(out.glob("*CMC Accuracy Phase Average*.png"))
+        assert len(res["cmc_map_shape"]) == 2
+
     def test_influence_effects_and_heterogeneity(self, study):
         """LOSO influence + subject-effect summary + the heterogeneity
         pipeline on the toy study's real artifacts."""
