@@ -271,3 +271,78 @@ class TestWavFormats:
         self._write(p, inter, sr, 2, n_channels=2)
         got, _ = mc.load_audio_file(p, duration=None)
         np.testing.assert_allclose(got, left / 2, atol=1e-3)
+
+
+class TestMusicWorkflowBlocks:
+    """The round-2 music-workflow analysis blocks (VERDICT r1 item 8):
+    lookup-table extension, clustering + embedding, MI + scatters."""
+
+    def _table(self, n=12, seed=0):
+        rng = np.random.default_rng(seed)
+        cats = ["Familiar Happy", "Familiar Sad", "Unfamiliar Groovy",
+                "Familiar Classic"]
+        return pd.DataFrame({
+            "File Title": [f"song_{i:02}" for i in range(n)],
+            "Category": [cats[i % 4] for i in range(n)],
+            "BPM": rng.uniform(60, 160, n),
+            "Spectral Flux Mean": rng.random(n),
+            "Spectral Flux Std.": rng.random(n),
+            "Spectral Centroid Mean": rng.uniform(500, 4000, n),
+            "IOI Variance Coeff": rng.random(n),
+            "Syncopation Degree": rng.random(n),
+            "Syncopation Ratio": rng.random(n),
+        }).set_index("File Title")
+
+    def test_extend_lookup_table_with_single_files(self, tmp_path):
+        from mba_tpu.workflows.music_feature_extraction_workflow import (
+            extend_lookup_table)
+        from mba_tpu.utils import file_management as filemgmt
+
+        table = self._table(4).reset_index()
+        table.to_csv(tmp_path / filemgmt.file_title(
+            "Song Characteristic Lookup Table", ".csv"), index=False)
+        y, sr = _click_track(seconds=8)
+        _write_wav(tmp_path / "extra_song.wav", y, sr)
+
+        out = extend_lookup_table(
+            tmp_path, audio_config_path=None,
+            single_files_to_add=[("extra_song.wav", "Artist X",
+                                  "Extra Song", "Familiar Happy",
+                                  "Pop", "spotify:xyz", 10.0)],
+            audio_dir=tmp_path, duration=8.0)
+        assert "extra_song.wav" in out.index
+        row = out.loc["extra_song.wav"]
+        assert row["Artist"] == "Artist X"
+        assert np.isfinite(row["BPM"])
+        assert np.isfinite(row["Syncopation Ratio"])
+        saved = list(tmp_path.glob(
+            "*Extended Song Characteristic Lookup Table*.csv"))
+        assert saved
+
+    def test_cluster_song_features_pca_fallback(self, tmp_path):
+        from mba_tpu.workflows.music_feature_extraction_workflow import (
+            cluster_song_features)
+
+        res = cluster_song_features(self._table(16), k=3,
+                                    save_dir=tmp_path)
+        assert res["labels"].shape == (16,)
+        assert set(res["labels"]) == {0, 1, 2}
+        assert res["embedding"].shape == (16, 2)
+        assert res["embedding_method"] in ("PCA", "UMAP")
+        assert list(tmp_path.glob("*Song Feature Clusters*.png"))
+
+    def test_cluster_requires_enough_rows(self):
+        from mba_tpu.workflows.music_feature_extraction_workflow import (
+            cluster_song_features)
+        with pytest.raises(ValueError, match="at least k"):
+            cluster_song_features(self._table(3), k=4)
+
+    def test_mi_and_scatters(self, tmp_path):
+        from mba_tpu.workflows.music_feature_extraction_workflow import (
+            music_feature_mi_and_scatters)
+
+        imp = music_feature_mi_and_scatters(
+            self._table(20, seed=1).reset_index(), save_dir=tmp_path)
+        # familiarity prefixes stripped from the target
+        assert isinstance(imp, dict) and len(imp) > 0
+        assert list(tmp_path.glob("*.png"))
