@@ -42,6 +42,9 @@ class _ReportConfig:
 
 # ── small helpers (reference :49-770) ─────────────────────────────────
 def _level_int(level_str) -> int | None:
+    if isinstance(level_str, (int, float)) and not (
+            isinstance(level_str, float) and np.isnan(level_str)):
+        return int(level_str)
     try:
         return int(str(level_str).split(" ")[1])
     except (IndexError, ValueError):
@@ -229,20 +232,147 @@ def _rate_time_consistency(raw_params: set, dvs: set, res: pd.DataFrame,
     return "yellow"
 
 
-# ── sample-size estimation (reference :394-534) ───────────────────────
-def _required_n_subjects(beta: float, se: float, n_current: int,
+# ── sample-size estimation (reference :394-660) ───────────────────────
+def _required_n_subjects(d: float, icc: float, k: float,
                          alpha: float = 0.05,
                          target_power: float = 0.80) -> int | None:
-    """Subjects needed to detect β at target power.
+    """Minimum subjects for a within-subject LME fixed-effect test.
 
-    Uses the 1/√n scaling of the fixed-effect SE under the fitted LME:
-    n_req = n_cur · ((z_{1−α/2}+z_{power})·SE / |β|)².
+    Reference ``statistical_reporting.py:394-443``: treats the test as a
+    one-sample t-test on subject-level effects with *k* repeated
+    observations per subject.  Effective n under the repeated-measures
+    design effect:
+
+        deff  = 1 + (k − 1) · ICC
+        n_eff = n_subjects · k / deff
+        λ     = d · √n_eff
+
+    Starts from the one-sample z-approximation, then refines upward with
+    the exact noncentral-t power until power ≥ *target_power* with
+    df = n_subjects − 1.  Returns None for invalid inputs (d ≈ 0, ICC or
+    k missing).
     """
-    if not np.isfinite(beta) or not np.isfinite(se) or beta == 0 \
-            or se <= 0:
+    if d is None or not np.isfinite(d) or abs(d) < 1e-8:
         return None
+    if icc is None or not np.isfinite(icc):
+        return None
+    if k is None or k < 1:
+        return None
+    d = abs(float(d))
+    deff = 1.0 + (float(k) - 1.0) * float(icc)
     z = stats.norm.ppf(1 - alpha / 2) + stats.norm.ppf(target_power)
-    return int(np.ceil(n_current * (z * se / abs(beta)) ** 2))
+    n_eff_needed = (z / d) ** 2
+    n_start = max(2, int(np.ceil(n_eff_needed * deff / k)))
+    for n in range(max(2, n_start - 3), n_start + 200):
+        n_eff = n * k / deff
+        df = max(1, n - 1)
+        ncp = d * np.sqrt(n_eff)
+        crit = stats.t.ppf(1 - alpha / 2, df)
+        power = (1.0 - stats.nct.cdf(crit, df, ncp)
+                 + stats.nct.cdf(-crit, df, ncp))
+        if power >= target_power:
+            return n
+    return n_start + 200
+
+
+def _lookup_icc(diagnostics: pd.DataFrame, dv: str,
+                lvl_idx: int | None, cfg: _ReportConfig) -> float | None:
+    """ICC of the LME matching (dv, level, primary resolution).
+
+    Reference ``statistical_reporting.py:606-631``.
+    """
+    if diagnostics is None or diagnostics.empty:
+        return None
+    sub = diagnostics[(diagnostics["Dependent_Variable"] == dv)
+                      & (diagnostics["Model_Type"] == "LME")]
+    if "N. Segments" in sub.columns:
+        sub = sub[sub["N. Segments"] == cfg.primary_n_segments]
+    if lvl_idx is not None:
+        sub = _level_filter(sub, lvl_idx)
+    if sub.empty:
+        return None
+    icc = sub.iloc[0].get("ICC")
+    return float(icc) if pd.notna(icc) else None
+
+
+def _lookup_k(diagnostics: pd.DataFrame, dv: str, lvl_idx: int | None,
+              cfg: _ReportConfig, n_subjects: int) -> float | None:
+    """Observations per subject = N_Observations / n_subjects.
+
+    Reference ``statistical_reporting.py:634-660``.
+    """
+    if diagnostics is None or diagnostics.empty or n_subjects < 1:
+        return None
+    sub = diagnostics[(diagnostics["Dependent_Variable"] == dv)
+                      & (diagnostics["Model_Type"] == "LME")]
+    if "N. Segments" in sub.columns:
+        sub = sub[sub["N. Segments"] == cfg.primary_n_segments]
+    if lvl_idx is not None:
+        sub = _level_filter(sub, lvl_idx)
+    if sub.empty:
+        return None
+    n_obs = sub.iloc[0].get("N_Observations")
+    if not pd.notna(n_obs) or n_obs < 1:
+        return None
+    return float(n_obs) / n_subjects
+
+
+def _estimate_n_for_cell(pred_canonical: str, dv: str,
+                         group_res: pd.DataFrame, power: pd.DataFrame,
+                         diagnostics: pd.DataFrame, cfg: _ReportConfig,
+                         n_subjects: int) -> dict:
+    """Required-n estimate for one (predictor, DV) cell.
+
+    Reference ``statistical_reporting.py:535-603``: picks the level with
+    the largest |Cohen's d| for the cleaned predictor, short-circuits to
+    'well_powered' if the power frame already shows power ≥ target, else
+    solves the noncentral-t sample size from (d, ICC, k).
+
+    Returns ``{'status': 'well_powered'|'estimated'|'missing',
+    'n_req', 'd', 'icc'}``.
+    """
+    empty = {"status": "missing", "n_req": None, "d": None, "icc": None}
+    cand = group_res[
+        (group_res["N. Segments"] == cfg.primary_n_segments)
+        & (group_res["Model_Type"] == "LME")
+        & (group_res["Dependent_Variable"] == dv)
+        & (group_res["Parameter"].apply(_clean_param) == pred_canonical)]
+    if cand.empty:
+        return empty
+    d_abs = pd.to_numeric(cand["Cohen_d"], errors="coerce").abs()
+    if d_abs.isna().all():
+        return empty
+    best = cand.loc[d_abs.idxmax()]
+    cohen_d = best.get("Cohen_d")
+    lvl_idx = _level_int(best["Comparison_Level"])
+
+    if power is not None and not power.empty:
+        pwr = power[(power["Dependent_Variable"] == dv)
+                    & (power["Parameter"] == best["Parameter"])]
+        if "N_Segments" in pwr.columns:
+            pwr = pwr[pwr["N_Segments"] == cfg.primary_n_segments]
+        if lvl_idx is not None:
+            pwr = _level_filter(pwr, lvl_idx)
+        if not pwr.empty:
+            obs = pwr.iloc[0].get("Power_at_Observed_Effect")
+            if pd.notna(obs) and obs >= cfg.target_power:
+                return {"status": "well_powered", "n_req": None,
+                        "d": None, "icc": None}
+
+    if cohen_d is None or not np.isfinite(cohen_d):
+        return empty
+    icc = _lookup_icc(diagnostics, dv, lvl_idx, cfg)
+    if icc is None:
+        return empty
+    k = _lookup_k(diagnostics, dv, lvl_idx, cfg, n_subjects)
+    if k is None:
+        return empty
+    n_req = _required_n_subjects(cohen_d, icc, k, cfg.alpha_adjusted,
+                                 cfg.target_power)
+    if n_req is None:
+        return empty
+    return {"status": "estimated", "n_req": n_req, "d": abs(cohen_d),
+            "icc": icc}
 
 
 # ── section builders ──────────────────────────────────────────────────
@@ -319,26 +449,59 @@ def _section_sample_size_estimation(hypothesis_groups: list[dict],
                                     diagnostics: pd.DataFrame,
                                     cfg: _ReportConfig, n_subjects: int,
                                     predictors_to_evaluate=None) -> str:
-    lines = ["## Sample-Size Estimation\n",
-             f"Required subjects to reach {cfg.target_power:.0%} power "
-             f"at α = {cfg.alpha_adjusted} (SE·√n scaling of the fitted "
-             f"LME):\n",
-             "| DV | Parameter | β | SE | n (current) | n (required) |",
-             "|---|---|---|---|---|---|"]
-    sub = res[(res["N. Segments"] == cfg.primary_n_segments)
-              & (res["Model_Type"] == "LME")
-              & res["Parameter"].apply(_is_real_param)]
-    if predictors_to_evaluate:
-        sub = sub[sub["Parameter"].isin(predictors_to_evaluate)]
-    for _, r in sub.iterrows():
-        n_req = _required_n_subjects(r["Coefficient"], r["SE"],
-                                     n_subjects, cfg.alpha_adjusted,
-                                     cfg.target_power)
-        lines.append(
-            f"| `{r['Dependent_Variable']}` "
-            f"| {_clean_param(r['Parameter'])} "
-            f"| {_fmt_float(r['Coefficient'])} | {_fmt_float(r['SE'])} "
-            f"| {n_subjects} | {n_req if n_req is not None else '—'} |")
+    """Section VI-b — required n per (predictor, DV) cell.
+
+    Reference ``statistical_reporting.py:445-532``: per hypothesis
+    group, a predictor×DV grid where each cell is ✅ (already
+    well-powered), **n=X** with the d/ICC it was solved from, or blank
+    (insufficient data).  Groups may scope rows via ``hypotheses``
+    (reference schema) or ``dvs`` (ours); when *predictors_to_evaluate*
+    is None the canonical predictor set is derived from the group's own
+    real parameters instead of the reference's hard-coded study list.
+    """
+    lines = [
+        "## Sample-Size Estimation\n",
+        f"> Minimum subjects (n) required to achieve "
+        f"{cfg.target_power:.0%} power at the observed effect size, "
+        f"corrected for repeated-measures design effect via ICC "
+        f"(current n={n_subjects}).  \n"
+        "> ✅ = already well-powered · blank = insufficient data for "
+        "estimation.\n"]
+    for grp in hypothesis_groups:
+        label = grp.get("name", grp.get("label", "Unnamed Group"))
+        lines.append(f"### {label}\n")
+        if grp.get("hypotheses"):
+            group_res = res[res["Hypothesis"].isin(grp["hypotheses"])]
+        elif grp.get("dvs"):
+            group_res = res[res["Dependent_Variable"].isin(grp["dvs"])]
+        else:
+            group_res = res
+        dvs = sorted(group_res["Dependent_Variable"].unique())
+        if group_res.empty or not dvs:
+            lines.append("> No results for this group.\n")
+            continue
+        if predictors_to_evaluate is not None:
+            preds = list(predictors_to_evaluate)
+        else:
+            real = group_res[group_res["Parameter"].apply(_is_real_param)]
+            preds = sorted(real["Parameter"].apply(_clean_param).unique())
+        lines.append(f"| Predictor | {' | '.join(dvs)} |")
+        lines.append(f"|---{'|---' * len(dvs)}|")
+        for pred in preds:
+            cells = []
+            for dv in dvs:
+                info = _estimate_n_for_cell(pred, dv, group_res, power,
+                                            diagnostics, cfg, n_subjects)
+                if info["status"] == "well_powered":
+                    cells.append("✅")
+                elif info["status"] == "estimated":
+                    cells.append(f"**n={info['n_req']}** "
+                                 f"d={info['d']:.2f} "
+                                 f"ICC={info['icc']:.2f}")
+                else:
+                    cells.append("")
+            lines.append(f"| {pred} | {' | '.join(cells)} |")
+        lines.append("")
     return "\n".join(lines) + "\n"
 
 

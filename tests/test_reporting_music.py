@@ -112,11 +112,45 @@ class TestReport:
         assert any("missing columns" in w for w in warnings_list)
         assert any("empty" in w for w in warnings_list)
 
-    def test_required_n_subjects_scaling(self):
-        # β = 2·SE at n=10 → z≈2.8 → needs roughly double the subjects
-        n = _required_n_subjects(beta=0.4, se=0.2, n_current=10)
-        assert 15 <= n <= 25
-        assert _required_n_subjects(0.0, 0.2, 10) is None
+    def test_required_n_subjects_nct(self):
+        # d=0.8, no clustering (ICC=0, k=1): classic one-sample t-test
+        # sample size for 80% power at α=.05 is n≈15 (Cohen's tables).
+        n = _required_n_subjects(d=0.8, icc=0.0, k=1)
+        assert 13 <= n <= 17
+        # Strong clustering inflates the design effect → needs more n
+        # than the independent-observations case with the same k.
+        n_iid = _required_n_subjects(d=0.5, icc=0.0, k=10)
+        n_icc = _required_n_subjects(d=0.5, icc=0.8, k=10)
+        assert n_icc > n_iid
+        # Monotone: smaller effect → more subjects.
+        assert _required_n_subjects(0.3, 0.4, 5) > \
+            _required_n_subjects(0.6, 0.4, 5)
+        # Invalid inputs
+        assert _required_n_subjects(0.0, 0.4, 5) is None
+        assert _required_n_subjects(0.5, float("nan"), 5) is None
+        assert _required_n_subjects(0.5, 0.4, 0) is None
+
+    def test_estimate_n_for_cell_grid(self):
+        from mba_tpu.pipeline.statistical_reporting import (
+            _estimate_n_for_cell, _ReportConfig)
+        res, diag, power, *_ = _frames()
+        cfg = _ReportConfig()
+        dv = "CMC_Flexor_max_beta"
+        pred = "Category or Silence: Happy"
+        # Power frame says 0.92 ≥ 0.80 → well-powered short-circuit.
+        info = _estimate_n_for_cell(pred, dv, res, power, diag, cfg, 6)
+        assert info["status"] == "well_powered"
+        # Drop the power evidence → must solve n from (d, ICC, k);
+        # k = 200 obs / 6 subjects, ICC = 0.4, d = 0.8.
+        info2 = _estimate_n_for_cell(pred, dv, res, power.iloc[0:0],
+                                     diag, cfg, 6)
+        assert info2["status"] == "estimated"
+        assert info2["n_req"] >= 2 and info2["icc"] == 0.4
+        assert info2["d"] == 0.8
+        # Unknown predictor → missing.
+        info3 = _estimate_n_for_cell("Nope", dv, res, power, diag,
+                                     cfg, 6)
+        assert info3["status"] == "missing"
 
     def test_clean_param(self):
         assert _clean_param("C(Q('Category or Silence'))[T.Happy]") == \
