@@ -177,9 +177,9 @@ def _msc_all_windows(eeg, emg, starts_padded, tapers, inv_fs_n, t_crit,
 
     With ``use_pallas`` (jackknife + EMG-max path on TPU) the post-FFT
     epilogue runs as the fused VMEM-resident Pallas kernel
-    (pallas_msc.py) — ~2.4x faster per window than the XLA lowering,
+    (pallas_msc.py) — ~1.7x faster per window than the XLA lowering,
     which materializes the (K, F, E, M) leave-one-out cross-spectra in
-    HBM.
+    HBM (BENCH_PALLAS.json; re-measure with tools/bench_pallas_ab.py).
     """
     chunks = starts_padded.reshape((-1, inner_chunk))
 
@@ -302,9 +302,10 @@ def multitaper_msc(
         starts_padded = np.concatenate(
             [starts[active], np.full(n_pad, starts[active[0]],
                                      dtype=starts.dtype)])
-        # pallas wins only on the max-pool path (2.3x): with full
+        # pallas wins only on the max-pool path (1.7x): with full
         # (F,E,M) outputs the HBM writes dominate either way and the
-        # XLA lowering is ~1.4x faster (measured on v5e)
+        # XLA lowering is ~1.3x faster (BENCH_PALLAS.json, measured on
+        # v5e by tools/bench_pallas_ab.py)
         want_pallas = (use_jackknife and aggregate_emg_max
                        and _pallas_available())
         call = functools.partial(

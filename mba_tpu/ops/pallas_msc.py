@@ -145,6 +145,12 @@ def msc_jackknife_maxpool_pallas(eeg_fft_re, eeg_fft_im,
     mi = jnp.pad(emg_fft_im, pad)
     t_crit_arr = jnp.asarray(t_crit, jnp.float32).reshape(1, 1)
 
+    # under shard_map's varying-mesh-axes checker (check_vma=True) the
+    # outputs must declare the same vma as the inputs, else pallas_call
+    # refuses to trace (jax 0.9 pallas_call.py:1196)
+    in_vma = getattr(jax.typeof(er), "vma", None)
+    vma_kw = {"vma": in_vma} if in_vma else {}
+
     spec_in = lambda C: pl.BlockSpec(
         (1, K, FREQ_BLOCK, C), lambda w, f: (w, 0, f, 0),
         memory_space=pltpu.VMEM)
@@ -152,12 +158,14 @@ def msc_jackknife_maxpool_pallas(eeg_fft_re, eeg_fft_im,
         spec_out = pl.BlockSpec((1, FREQ_BLOCK, E),
                                 lambda w, f: (w, f, 0),
                                 memory_space=pltpu.VMEM)
-        out_shape = jax.ShapeDtypeStruct((W, F_pad, E), jnp.float32)
+        out_shape = jax.ShapeDtypeStruct((W, F_pad, E), jnp.float32,
+                                         **vma_kw)
     else:
         spec_out = pl.BlockSpec((1, FREQ_BLOCK, E, M),
                                 lambda w, f: (w, f, 0, 0),
                                 memory_space=pltpu.VMEM)
-        out_shape = jax.ShapeDtypeStruct((W, F_pad, E, M), jnp.float32)
+        out_shape = jax.ShapeDtypeStruct((W, F_pad, E, M), jnp.float32,
+                                         **vma_kw)
 
     coh, lo, hi = pl.pallas_call(
         functools.partial(_msc_block_kernel, K=K, emg_max=emg_max),
