@@ -289,3 +289,42 @@ class TestPallasEpilogue:
         np.testing.assert_allclose(half["coherence_ci_upper"],
                                    full["coherence_ci_upper"],
                                    atol=6e-4)
+
+    def test_input_transfer_int16_quantization(self):
+        """Per-channel int16 upload: coherence is scale-invariant per
+        channel, so quantization (≤2^-15 of each channel's peak) must
+        leave the result essentially unchanged."""
+        from mba_tpu.ops.coherence import multitaper_msc
+        rng = np.random.default_rng(1)
+        fs, n = 256.0, 256 * 6
+        # wildly different channel scales to stress per-channel peaks
+        eeg = (rng.standard_normal((n, 4))
+               * np.array([1e-3, 1.0, 50.0, 1e3], np.float32)
+               ).astype(np.float32)
+        emg = rng.standard_normal((n, 2)).astype(np.float32)
+        kw = dict(nw=3, window_length_sec=1.0, use_jackknife=True,
+                  apply_independence_threshold=False)
+        full = multitaper_msc(eeg, emg, fs, **kw)
+        i16 = multitaper_msc(eeg, emg, fs, input_transfer="int16", **kw)
+        assert i16["coherence_raw"].dtype == np.float32
+        np.testing.assert_allclose(i16["coherence_raw"],
+                                   full["coherence_raw"], atol=2e-3)
+        np.testing.assert_allclose(i16["coherence_ci_lower"],
+                                   full["coherence_ci_lower"], atol=2e-3)
+
+    def test_input_transfer_int16_adc_counts_verbatim(self):
+        """Arrays already in int16 ADC counts upload verbatim and give
+        the same answer as their float32 conversion."""
+        from mba_tpu.ops.coherence import multitaper_msc
+        rng = np.random.default_rng(2)
+        fs, n = 256.0, 256 * 4
+        eeg_i = (rng.standard_normal((n, 3)) * 2000).astype(np.int16)
+        emg_i = (rng.standard_normal((n, 2)) * 2000).astype(np.int16)
+        kw = dict(nw=3, window_length_sec=1.0, use_jackknife=True,
+                  apply_independence_threshold=False)
+        full = multitaper_msc(eeg_i.astype(np.float32),
+                              emg_i.astype(np.float32), fs, **kw)
+        raw = multitaper_msc(eeg_i, emg_i, fs, input_transfer="int16",
+                             **kw)
+        np.testing.assert_allclose(raw["coherence_raw"],
+                                   full["coherence_raw"], atol=1e-5)
