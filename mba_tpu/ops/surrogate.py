@@ -202,10 +202,12 @@ def _make_sharded_null_step(mesh, window_samples: int, chunk: int,
     flat = _Mesh(mesh.devices.reshape(-1), ("surr",))
     n_dev = flat.devices.size
 
-    def per_device(keys, eeg_frames, emg, starts, tapers, inv, hist):
+    def per_device(keys, eeg_frames, emg, starts, tapers, inv, fmask, hist):
         spectra = _surrogate_chunk_jit(keys[0], eeg_frames, emg, starts,
                                        tapers, inv, window_samples, chunk)
-        ms = spectra.max(axis=(1, 2, 3))
+        # max statistic over valid band only (coherence >= 0 so a zero
+        # mask removes a cell from the max)
+        ms = (spectra * fmask[None, :, None, None]).max(axis=(1, 2, 3))
         if max_stat_only:
             return ms, hist
         inc = _hist_accumulate_jit(spectra, jnp.zeros_like(hist),
@@ -214,7 +216,7 @@ def _make_sharded_null_step(mesh, window_samples: int, chunk: int,
 
     fn = _shard_map(per_device, mesh=flat,
                     in_specs=(_P("surr"), _P(), _P(), _P(), _P(), _P(),
-                              _P()),
+                              _P(), _P()),
                     out_specs=(_P("surr"), _P()))
     return jax.jit(fn), flat, n_dev
 
@@ -243,6 +245,7 @@ def msc_phase_randomized_null(
         window_length_sec: float = 1.0,
         overlap_frac: float = 0.5,
         taper_eigenvalue_threshold: float = 0.90,
+        band: tuple[float, float] | None = None,
         quantiles=(0.95, 0.99),
         surrogate_chunk: int = 64,
         seed: int = 0,
@@ -256,6 +259,14 @@ def msc_phase_randomized_null(
     the full window-averaged MSC spectrum is computed, and per-frequency
     (and global-max) null statistics are accumulated on-line.
 
+    ``band``: optional (lo, hi) Hz restriction for the *max statistic*
+    (and ``p_fwe``).  DC and Nyquist are ALWAYS excluded from the max:
+    phase randomisation keeps those (real-valued) bins unrotated, so
+    coherence there is not destroyed under the null — and after
+    high-pass filtering their vanishing power makes the MSC ratio
+    numerically meaningless.  The per-cell ``null_quantiles`` and
+    ``observed`` keep the full frequency grid.
+
     ``mesh``: optional ``jax.sharding.Mesh`` — the surrogate axis is split
     over every device in the mesh (each draws its own chunk; the per-cell
     histogram is psum-reduced), running the identical chunk kernel as the
@@ -264,9 +275,11 @@ def msc_phase_randomized_null(
     Returns dict with:
       - ``null_quantiles``: {q: (F, E, M) array} per-frequency-pair
         coherence thresholds (or scalars if ``max_stat_only``)
-      - ``max_stat``: (n_surrogates,) distribution of the global max
+      - ``max_stat``: (n_surrogates,) distribution of the in-band max
         coherence per surrogate (for FWE-corrected thresholds)
       - ``observed``: (F, E, M) observed window-averaged MSC
+      - ``observed_max``: float, in-band max of ``observed``
+      - ``p_fwe``: (1 + #{max_stat >= observed_max}) / (1 + n_surrogates)
       - ``freqs``
     """
     eeg = np.asarray(eeg, np.float32)
@@ -282,6 +295,15 @@ def msc_phase_randomized_null(
     starts_j = jnp.asarray(starts, jnp.int32)
     inv_fs_n = np.float32(1.0 / (sampling_freq * window_samples))
     freqs = np.fft.rfftfreq(window_samples, d=1.0 / sampling_freq)
+
+    # frequency mask for the max statistic: DC/Nyquist always out (their
+    # zero-phase bins survive the randomisation), optional band restriction
+    fmask_np = (freqs > 0) & (freqs < sampling_freq / 2)
+    if band is not None:
+        fmask_np &= (freqs >= band[0]) & (freqs <= band[1])
+    if not fmask_np.any():
+        raise ValueError(f"band {band} selects no valid frequencies")
+    fmask = jnp.asarray(fmask_np, jnp.float32)
 
     eeg_j = jnp.asarray(eeg)
     emg_j = jnp.asarray(emg)
@@ -321,11 +343,12 @@ def msc_phase_randomized_null(
             jnp.zeros(1 if max_stat_only else n_cells * n_bins,
                       jnp.int32), rep)
         inv_d = jax.device_put(jnp.float32(inv_fs_n), rep)
+        fmask_d = jax.device_put(fmask, rep)
         while done < n_surrogates:
             key, sub = jax.random.split(key)
             keys = jax.device_put(jax.random.split(sub, n_dev), key_shard)
             ms, hist = step(keys, eeg_frames, emg_j, starts_d, tapers_d,
-                            inv_d, hist)
+                            inv_d, fmask_d, hist)
             take = min(n_dev * chunk, n_surrogates - done)
             max_stats.append(np.asarray(ms)[:take])
             n_hist_total += n_dev * chunk
@@ -339,7 +362,8 @@ def msc_phase_randomized_null(
                                            starts_j, tapers, inv_fs_n,
                                            window_samples, chunk)
             take = min(chunk, n_surrogates - done)
-            max_stats.append(np.asarray(spectra.max(axis=(1, 2, 3)))[:take])
+            ms = (spectra * fmask[None, :, None, None]).max(axis=(1, 2, 3))
+            max_stats.append(np.asarray(ms)[:take])
             if not max_stat_only:
                 if hist is None:
                     hist = jnp.zeros(n_cells * n_bins, dtype=jnp.int32)
@@ -348,7 +372,11 @@ def msc_phase_randomized_null(
             done += take
 
     max_stat = np.concatenate(max_stats)
+    observed_max = float(observed[fmask_np].max())
+    p_fwe = float((1.0 + (max_stat >= observed_max).sum())
+                  / (1.0 + len(max_stat)))
     result = {"max_stat": max_stat, "observed": observed, "freqs": freqs,
+              "observed_max": observed_max, "p_fwe": p_fwe,
               "null_quantiles": {}}
     if not max_stat_only:
         hist = hist.reshape((n_freqs, eeg.shape[1], emg.shape[1], n_bins))

@@ -258,6 +258,23 @@ class TestTransferDtype:
         assert abs(np.quantile(a["max_stat"], 0.95)
                    - np.quantile(b["max_stat"], 0.95)) < 0.02
 
+    def test_i16_transfer_matches_f32(self):
+        # int16 per-channel quantization: tighter than f16 at the same
+        # byte count (scaling cancels in MSC), so bounds are stricter
+        eeg = np.stack([_toy_subject(s, coupled=True)[0] for s in range(2)])
+        emg = np.stack([_toy_subject(s, coupled=True)[1] for s in range(2)])
+        # per-channel scale spread exercises the peak normalization
+        eeg = eeg * np.array([1e-2, 30.0], np.float32)   # n_eeg = 2
+        kw = dict(sampling_freq=FS, n_surrogates=256,
+                  window_length_sec=0.5, band=(8.0, 40.0),
+                  surrogate_chunk=128, seed=2, compute_dtype=jnp.float32)
+        a = cohort_msc_rotation_null(eeg, emg, **kw)
+        b = cohort_msc_rotation_null(eeg, emg, transfer_dtype=np.int16,
+                                     **kw)
+        np.testing.assert_allclose(a["observed"], b["observed"], atol=1e-3)
+        assert abs(np.quantile(a["max_stat"], 0.95)
+                   - np.quantile(b["max_stat"], 0.95)) < 0.01
+
 
 class TestValidation:
     def test_band_excludes_dc_and_nyquist(self):

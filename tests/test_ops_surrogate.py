@@ -99,6 +99,61 @@ class TestMscNull:
         # null thresholds bounded away from 1 (coherence destroyed)
         assert res["null_quantiles"][0.95].mean() < observed_peak
 
+    def test_dc_excluded_from_max_stat(self):
+        # regression: DC/Nyquist keep zero phase under the randomisation
+        # (the surrogate must stay real), so coherence there is NOT
+        # destroyed under the null.  A strong shared slow drift pins DC
+        # coherence near 1 in the observed data AND in every surrogate —
+        # with DC in the max statistic, p_fwe would be ~1 despite a huge
+        # genuine in-band coupling.
+        fs, seconds = 128, 16
+        rng = np.random.default_rng(9)
+        n = fs * seconds
+        t = np.arange(n) / fs
+        white = rng.standard_normal(n)
+        spec = np.fft.rfft(white)
+        f = np.fft.rfftfreq(n, 1 / fs)
+        spec[(f < 12) | (f > 20)] = 0
+        shared = np.fft.irfft(spec, n=n)
+        shared /= shared.std()
+        drift = 20.0 * np.sin(2 * np.pi * 0.02 * t)   # << 1/window_length
+        eeg = (shared + drift + 0.5 * rng.standard_normal(n))[:, None]
+        emg = (shared + drift + 0.5 * rng.standard_normal(n))[:, None]
+        # the drift's taper-bandwidth leakage reaches ~nw/T = 3 Hz, and a
+        # deterministic component survives phase randomisation anywhere it
+        # lands — restrict the max statistic to the analysis band, as the
+        # cohort engine does
+        res = msc_phase_randomized_null(
+            eeg, emg, fs, n_surrogates=100, window_length_sec=1.0,
+            band=(8.0, 40.0), quantiles=(0.95,), surrogate_chunk=50,
+            seed=1)
+        # the shared drift drives observed DC coherence toward 1 ...
+        assert res["observed"][0, 0, 0] > 0.9
+        # ... and the surrogates preserve it (per-cell null at DC is
+        # as high as the observed value — not a valid null there)
+        assert res["null_quantiles"][0.95][0, 0, 0] > 0.9
+        # but the max statistic excludes it: the 12-20 Hz coupling is
+        # detected family-wise despite the pathological DC cell
+        assert res["p_fwe"] < 0.05
+        assert res["observed_max"] > np.quantile(res["max_stat"], 0.95)
+        assert np.quantile(res["max_stat"], 0.95) < 0.8
+
+    def test_band_restriction(self):
+        rng = np.random.default_rng(10)
+        eeg = rng.standard_normal((1024, 1)).astype(np.float32)
+        emg = rng.standard_normal((1024, 1)).astype(np.float32)
+        res = msc_phase_randomized_null(
+            eeg, emg, 128, n_surrogates=32, window_length_sec=1.0,
+            band=(13.0, 40.0), surrogate_chunk=32, max_stat_only=True,
+            seed=2)
+        assert res["max_stat"].shape == (32,)
+        assert 0.0 < res["p_fwe"] <= 1.0
+        import pytest
+        with pytest.raises(ValueError):
+            msc_phase_randomized_null(
+                eeg, emg, 128, n_surrogates=8, window_length_sec=1.0,
+                band=(70.0, 60.0), surrogate_chunk=8, max_stat_only=True)
+
     def test_max_stat_mode(self):
         rng = np.random.default_rng(6)
         eeg = rng.standard_normal((512, 2)).astype(np.float32)
