@@ -54,6 +54,26 @@ FREQUENCY_BANDS = {
 # --------------------------------------------------------------------------
 # thin wrappers over ops kernels (reference-identical signatures)
 # --------------------------------------------------------------------------
+def check_2d_numpy_array(input_array: np.ndarray,
+                         axis: Literal[0, 1] | None = None
+                         ) -> tuple[np.ndarray, Literal[0, 1]]:
+    """Promote 1-D input to a (n, 1) column and resolve ``axis``.
+
+    Drop-in for the reference's public helper (signal_features.py:29-37):
+    1-D arrays get a channel axis and ``axis=0``; 2-D arrays require an
+    explicit ``axis``.
+    """
+    input_array = np.asarray(input_array)
+    if input_array.ndim == 1:
+        input_array = input_array[:, np.newaxis]
+        if axis is None:
+            axis = 0
+    elif axis is None:
+        raise AttributeError("For 2D signal arrays, axis needs to be "
+                             "defined!")
+    return input_array, axis
+
+
 def resample_data(data: np.ndarray, original_sampling_freq,
                   new_sampling_freq, axis: Literal[0, 1] | None = None):
     """Linear-interpolation resampling (reference signal_features.py:40)."""

@@ -13,6 +13,7 @@ artifact store.
 """
 from __future__ import annotations
 
+import warnings
 from pathlib import Path
 from typing import Literal
 
@@ -435,6 +436,91 @@ def draw_forest_mosaic(results_df: pd.DataFrame,
     return fig
 
 
+def _resolve_p_column(df: pd.DataFrame,
+                      significance_source: Literal["autocorr", "fdr",
+                                                   "auto"] = "auto",
+                      fdr_col: str = "p_value_fdr",
+                      autocorr_col: str = "p_value_adjusted",
+                      fallback_col: str = "p_value_for_plot") -> str:
+    """Name of the p-value column for significance colouring
+    (reference :1745-1781 semantics).
+
+    'auto'     → p_value_for_plot if present (FDR where available,
+                 autocorr-adjusted elsewhere), else p_value_adjusted
+    'fdr'      → p_value_fdr; warn + fall back if absent/all-NaN
+    'autocorr' → always p_value_adjusted
+    """
+    if significance_source == "autocorr":
+        return autocorr_col
+    if significance_source == "fdr":
+        if fdr_col not in df.columns or df[fdr_col].isna().all():
+            warnings.warn(
+                f"[Forest plot] significance_source='fdr' but '{fdr_col}' "
+                f"is absent or all-NaN. Falling back to '{autocorr_col}'.")
+            return autocorr_col
+        return fdr_col
+    if fallback_col in df.columns and not df[fallback_col].isna().all():
+        return fallback_col
+    return autocorr_col
+
+
+def plot_hypothesis_forest_mosaic(
+        result_frame: pd.DataFrame,
+        hypotheses: list[str],
+        exclude_intercepts: bool = True,
+        model_type: str | None = "LME",
+        output_dir: Path | None = None,
+        file_identifier_suffix: str | None = None,
+        hidden: bool = False,
+        plot_size: tuple[int, int] | Literal["auto"] = "auto",
+        significance_source: Literal["autocorr", "fdr", "auto"] = "auto",
+        show_title: bool = False,
+        rename_dict: dict[str, str] | None = None,
+        show_hypothesis_number: bool = False):
+    """One forest subplot per hypothesis, shared parameter axis
+    (reference :2342-2441; same slicing, formula-term cleanup and p-column
+    resolution — rendered via :func:`draw_forest_plot`)."""
+    df = result_frame.copy()
+    if exclude_intercepts:
+        df = df[df["Parameter"] != "Intercept"]
+    if model_type is not None and "Model_Type" in df.columns:
+        df = df[df["Model_Type"] == model_type]
+    df = df[~df["Parameter"].isin({"__re_std__", "__residual_std__"})]
+    for tok in ("C(", "Q(", "'", ")"):
+        df["Parameter"] = df["Parameter"].astype(str).str.replace(
+            tok, "", regex=False)
+    if rename_dict:
+        df["Parameter"] = df["Parameter"].replace(rename_dict)
+    if plot_size == "auto":
+        n_params = df["Parameter"].nunique(dropna=True)
+        plot_size = (12, max(2.0, n_params / 3))
+    fig, axs = plt.subplots(1, max(len(hypotheses), 1), figsize=plot_size,
+                            constrained_layout=True, squeeze=False)
+    axs = axs.flatten()
+    for col, hyp in enumerate(hypotheses):
+        sub = df[df["Hypothesis"] == hyp]
+        if sub.empty:
+            axs[col].axis("off")
+            continue
+        p_col = _resolve_p_column(sub, significance_source)
+        label = (f"{hyp}" if show_hypothesis_number
+                 else str(sub["Dependent_Variable"].iloc[0])
+                 if "Dependent_Variable" in sub.columns else str(hyp))
+        draw_forest_plot(sub, p_col=p_col, title=label, ax=axs[col])
+        if col > 0:
+            axs[col].set_yticklabels([])
+    fig_title = (f"Coefficient Overview"
+                 f"{f' ({model_type} models)' if model_type else ''}"
+                 f"{f' ({file_identifier_suffix})' if file_identifier_suffix else ''}")
+    if show_title:
+        fig.suptitle(fig_title)
+    if output_dir is not None:
+        smart_save_fig(output_dir, fig_title, fig=fig)
+    if hidden:
+        plt.close(fig)
+    return fig
+
+
 # ══════════════════════════════════════════════════════════════════════
 #  CMC / phase-average family (reference :2446-4029)
 # ══════════════════════════════════════════════════════════════════════
@@ -572,6 +658,33 @@ def plot_cbpa_results(results: dict, cfg=None,
 # ══════════════════════════════════════════════════════════════════════
 #  categorical flow / MI / descriptive mosaics (reference :149-316 etc.)
 # ══════════════════════════════════════════════════════════════════════
+def plot_category_reassignment_sankey(
+        category_reassignment_frame: pd.DataFrame,
+        song_colors: dict[str, str] | None = None,
+        preferred_order: list[str] | None = None,
+        rename_dict: dict[str, str] | None = None,
+        show_title: bool = False,
+        output_dir: str | Path | None = None,
+        width: int = 600,
+        height: int = 370):
+    """Category reassignments as a two-column flow diagram
+    (reference :149-316; signature-compatible — the frame's ``from``/``to``
+    columns drive :func:`plot_category_sankey`'s native matplotlib ribbon
+    rendering instead of plotly)."""
+    del song_colors, width, height  # plotly-renderer specifics
+    src = category_reassignment_frame[["from", "to"]].dropna()
+    if len(src) == 0:
+        print("No category reassignments available for Sankey plot.")
+        return None
+    del preferred_order  # ordering is frequency-driven natively
+    fig, _ = plot_category_sankey(
+        src["from"].tolist(), src["to"].tolist(),
+        title="Category Reassignment" if show_title else "",
+        rename_dict=rename_dict or {},
+        save_dir=output_dir)
+    return fig
+
+
 def plot_category_sankey(source_labels: list, target_labels: list,
                          title: str = "Category Reassignment",
                          rename_dict: dict | None = None,

@@ -206,3 +206,59 @@ class TestSpectrogramPhaseStrip:
         # by its ylabel — the colorbar axes comes last in fig.axes)
         strip = [a for a in fig.axes if a.get_ylabel() == "Phase"][0]
         assert any("No phases" in t.get_text() for t in strip.texts)
+
+
+class TestReferenceNamedWrappers:
+    def test_hypothesis_forest_mosaic(self, results_frame, tmp_path):
+        df = results_frame.copy()
+        df["p_value_adjusted"] = df["p_value"]
+        df["p_value_for_plot"] = df["p_value_fdr"]
+        fig = viz.plot_hypothesis_forest_mosaic(
+            df, hypotheses=["H2a: CMC beta", "H3: CMC gamma"],
+            output_dir=tmp_path, hidden=True)
+        assert fig is not None
+        assert len(fig.axes) == 2
+        assert list(tmp_path.glob("*Coefficient Overview*"))
+
+    def test_hypothesis_mosaic_missing_hypothesis_axis_off(
+            self, results_frame):
+        df = results_frame.copy()
+        df["p_value_adjusted"] = df["p_value"]
+        fig = viz.plot_hypothesis_forest_mosaic(
+            df, hypotheses=["H2a: CMC beta", "H99: absent"], hidden=True)
+        assert not fig.axes[1].axison
+
+    def test_resolve_p_column(self, results_frame):
+        df = results_frame.copy()
+        df["p_value_adjusted"] = df["p_value"]
+        assert viz._resolve_p_column(df, "autocorr") == "p_value_adjusted"
+        assert viz._resolve_p_column(df, "fdr") == "p_value_fdr"
+        df2 = df.drop(columns=["p_value_fdr"])
+        with pytest.warns(UserWarning):
+            assert viz._resolve_p_column(df2, "fdr") == "p_value_adjusted"
+        df["p_value_for_plot"] = df["p_value_fdr"]
+        assert viz._resolve_p_column(df, "auto") == "p_value_for_plot"
+
+    def test_reassignment_sankey(self, tmp_path):
+        frame = pd.DataFrame({
+            "from": ["Happy", "Happy", "Sad", "Classic", None],
+            "to": ["Groovy", "Happy", "Happy", "Sad", "Happy"]})
+        fig = viz.plot_category_reassignment_sankey(
+            frame, song_colors={"Happy": "#ff0000"},
+            rename_dict={"Classic": "Classical"}, output_dir=tmp_path)
+        assert fig is not None
+        assert list(tmp_path.glob("*.png"))
+
+    def test_reassignment_sankey_empty(self, capsys):
+        frame = pd.DataFrame({"from": [None], "to": [None]})
+        assert viz.plot_category_reassignment_sankey(frame, {}) is None
+        assert "No category reassignments" in capsys.readouterr().out
+
+    def test_check_2d_numpy_array(self):
+        from mba_tpu.pipeline.signal_features import check_2d_numpy_array
+        arr, ax = check_2d_numpy_array(np.zeros(5))
+        assert arr.shape == (5, 1) and ax == 0
+        arr, ax = check_2d_numpy_array(np.zeros((4, 2)), axis=1)
+        assert arr.shape == (4, 2) and ax == 1
+        with pytest.raises(AttributeError):
+            check_2d_numpy_array(np.zeros((4, 2)))
