@@ -311,9 +311,9 @@ def multitaper_msc(
         if input_transfer == "int16":
             if x.dtype != np.int16:
                 # per-channel peak scaling: cancels exactly in coherence
-                peak = np.maximum(np.abs(x).max(axis=0, keepdims=True),
-                                  np.float32(1e-30))
-                x = np.round(x * (32767.0 / peak)).astype(np.int16)
+                # (native SIMD quantizer, bit-identical numpy fallback)
+                from mba_tpu.native import quantize_int16_per_channel
+                x = quantize_int16_per_channel(x)
             return jnp.asarray(x).astype(jnp.float32)   # cast on device
         return jnp.asarray(x)
 

@@ -97,13 +97,10 @@ def phase_features(phi: jnp.ndarray) -> jnp.ndarray:
     return jnp.moveaxis(feats, -2, -1)                 # (..., F, P)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("window_samples", "band_lo", "band_hi",
-                                    "window_chunk"))
-def _subject_rotation_coeffs(eeg, emg, starts, weights, tapers,
-                             window_samples: int, band_lo: int, band_hi: int,
-                             window_chunk: int):
-    """Per-subject rotation-null coefficients.
+def _rotation_coeffs_body(eeg, emg, starts, weights, tapers,
+                          window_samples: int, band_lo: int, band_hi: int,
+                          window_chunk: int):
+    """Per-subject rotation-null coefficients (traceable body).
 
     Returns (base, coef):
       base : (F, E, M) f32 — Σ_k Re C_kk   (the rotation-invariant part)
@@ -153,6 +150,48 @@ def _subject_rotation_coeffs(eeg, emg, starts, weights, tapers,
                             -2.0 * C.imag[ks, ls]], axis=0)  # (P, F, E, M)
     return base.astype(jnp.float32), \
         jnp.moveaxis(coef, 0, -1).astype(jnp.float32)        # (F, E, M, P)
+
+
+_subject_rotation_coeffs = functools.partial(
+    jax.jit, static_argnames=("window_samples", "band_lo", "band_hi",
+                              "window_chunk"))(_rotation_coeffs_body)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("window_samples", "band_lo", "band_hi",
+                                    "window_chunk"))
+def _cohort_rotation_coeffs(eeg, emg, starts, weights, tapers,
+                            window_samples: int, band_lo: int,
+                            band_hi: int, window_chunk: int):
+    """All-subject rotation coefficients in ONE program.
+
+    eeg: (J, n, E), emg: (J, n, M) — any real dtype (cast to f32 on
+    device); starts/weights: (J, W).  ``lax.map`` over subjects bounds
+    transient HBM to one subject's frames while avoiding the J separate
+    dispatches + host-side stack of the per-subject path (which cost
+    more wall time than the math at north-star scale).
+
+    Returns (base_cohort (F, E, M) — subject mean, coef_all (J, F, N, P)
+    with N = E·M, observed_flat (F, N)).
+    """
+    J = eeg.shape[0]
+    nE, nM = eeg.shape[2], emg.shape[2]
+
+    def one(args):
+        e, m, s, w = args
+        b, c = _rotation_coeffs_body(
+            e.astype(jnp.float32), m.astype(jnp.float32), s, w, tapers,
+            window_samples, band_lo, band_hi, window_chunk)
+        return b, c.reshape(c.shape[0], nE * nM, c.shape[-1])
+
+    base_j, coef_all = jax.lax.map(one, (eeg, emg, starts, weights))
+    base_cohort = base_j.mean(axis=0)                       # (F, E, M)
+    P = coef_all.shape[-1]
+    base_flat = base_cohort.reshape(base_cohort.shape[0], nE * nM)
+    # observed = stat at φ = 0: cos features 1, sin features 0
+    observed_flat = base_flat + coef_all[..., :P // 2].sum(
+        axis=-1).mean(axis=0)
+    return base_cohort, coef_all, observed_flat
 
 
 def _null_chunk_core(key, coef_all, base_cohort, observed, counts,
@@ -315,48 +354,46 @@ def cohort_msc_rotation_null(
             else jnp.float32
 
     tapers_j = jnp.asarray(tapers, jnp.float32)
-    # ---- precompute per-subject rotation coefficients (device-resident) --
+    # ---- precompute all-subject rotation coefficients (device-resident) --
     import time as _time
     t_pre0 = _time.perf_counter()
-    bases, coefs = [], []
+    t_stage = {}
     if transfer_dtype is not None:
         if np.dtype(transfer_dtype) == np.int16:
             # per-(subject, channel) peak scaling: cancels exactly in
             # MSC, so precision is 2^-15 of each channel's peak — an
             # order of magnitude tighter than the f16 alternative at
-            # the same byte count
-            def _q(x):
-                peak = np.maximum(np.abs(x).max(axis=1, keepdims=True),
-                                  np.float32(1e-30))
-                return np.round(x * (32767.0 / peak)).astype(np.int16)
-            eeg = _q(eeg)
-            emg = _q(emg)
+            # the same byte count.  Native single-thread SIMD quantizer
+            # (mba_tpu/native/quantshim.cpp) with a numpy fallback: the
+            # numpy version costs ~5 memory passes over the cohort,
+            # which dominated precompute on a 1-core host.
+            from mba_tpu.native import quantize_int16_per_channel
+            eeg = quantize_int16_per_channel(eeg)
+            emg = quantize_int16_per_channel(emg)
         else:
             eeg = eeg.astype(transfer_dtype)
             emg = emg.astype(transfer_dtype)
-    # upload in the (possibly reduced) transfer dtype, then cast to f32
-    # in a separate device op BEFORE the main kernel: sub-word dtypes
-    # inside the framing/FFT program hit slow emulated layouts on some
-    # TPU runtimes (measured 2x slower end-to-end with int16 flowing
-    # into the jit on axon)
-    _to_f32 = jax.jit(lambda x: x.astype(jnp.float32))
-    for j in range(J):
-        b, c = _subject_rotation_coeffs(
-            _to_f32(jnp.asarray(eeg[j])), _to_f32(jnp.asarray(emg[j])),
-            jnp.asarray(window_starts[j], jnp.int32),
-            jnp.asarray(window_weights[j]), tapers_j,
-            window_samples, lo, hi, wc)
-        bases.append(b)
-        coefs.append(c.reshape(nF, nE * nM, -1))
-    base_cohort = sum(bases) / J                      # (F, E, M)
-    coef_all = jnp.stack(coefs)                       # (J, F, N, P)
-    del bases, coefs
-    P_feats = coef_all.shape[-1]
-    base_flat = base_cohort.reshape(nF, nE * nM)
-    # observed = stat at φ = 0: cos features 1, sin features 0
-    observed_flat = base_flat + coef_all[..., :P_feats // 2].sum(
-        axis=-1).mean(axis=0)
+    # ONE upload per modality in the (possibly reduced) transfer dtype;
+    # the f32 cast happens inside the batched program, per subject (so
+    # the f32 cohort never materialises in HBM at once), and all J
+    # subjects run as one compiled dispatch — no per-subject dispatch
+    # overhead, no host-side stack
+    t_stage["quantize_sec"] = round(_time.perf_counter() - t_pre0, 3)
+    starts_all = jnp.asarray(window_starts, jnp.int32)       # (J, W)
+    weights_all = jnp.asarray(window_weights)                # (J, W)
+    t_up0 = _time.perf_counter()
+    eeg_d = jnp.asarray(eeg)
+    emg_d = jnp.asarray(emg)
+    jax.block_until_ready((eeg_d, emg_d))
+    t_stage["upload_sec"] = round(_time.perf_counter() - t_up0, 3)
+    t_co0 = _time.perf_counter()
+    base_cohort_d, coef_all, observed_flat = _cohort_rotation_coeffs(
+        eeg_d, emg_d, starts_all, weights_all,
+        tapers_j, window_samples, lo, hi, wc)
+    base_flat = base_cohort_d.reshape(nF, nE * nM)
+    P_feats = int(coef_all.shape[-1])
     observed = np.asarray(observed_flat).reshape(nF, nE, nM)
+    t_stage["coeffs_sec"] = round(_time.perf_counter() - t_co0, 3)
     t_precompute = _time.perf_counter() - t_pre0   # incl. uploads + sync
 
     if verbose:
@@ -427,6 +464,6 @@ def cohort_msc_rotation_null(
             "contraction_flops": float(2 * n_total * nF * nE * nM
                                        * J * P_feats),
             "timings": {"precompute_sec": round(t_precompute, 3),
-                        "null_sec": round(t_null, 3)},
+                        "null_sec": round(t_null, 3), **t_stage},
         },
     }
