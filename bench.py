@@ -400,12 +400,16 @@ def main():
         cpu_ns = pinned.get("cohort_null_cpu_sec_10k_12subj_extrapolated")
         log(f"NORTH STAR full-cohort 10k-surrogate null (12 subj, 64x64, "
             f"13-100 Hz): {t_ns:.1f}s single-chip wall "
-            f"(precompute {tt['precompute_sec']}s + null {tt['null_sec']}s)"
+            f"(quantize {tt.get('quantize_sec', '?')}s + "
+            f"upload {tt.get('upload_sec', '?')}s + "
+            f"coeffs {tt.get('coeffs_sec', '?')}s + "
+            f"null {tt['null_sec']}s)"
             f"; projected v5e-8: {t_proj:.1f}s"
             + (f"; numpy CPU extrapolation: {cpu_ns:,.0f}s"
                if cpu_ns else ""))
         extras["full_cohort_10k_null_sec_single_chip"] = round(t_ns, 2)
         extras["full_cohort_10k_null_sec_projected_v5e8"] = round(t_proj, 2)
+        extras["full_cohort_10k_null_stages"] = tt
         extras["full_cohort_10k_null_target_sec"] = 60.0
         if cpu_ns:
             extras["full_cohort_10k_null_cpu_sec_pinned"] = cpu_ns
