@@ -268,8 +268,11 @@ def full_cohort_10k_null(n_subjects=12, n_surrogates=10_000):
     assert res["max_stat"].shape == (n_surrogates,)
     assert res["p_fwe"] < 0.01          # the planted coupling is detected
 
-    # full-precision upload variant for drift visibility
+    # full-precision upload variant for drift visibility; needs its own
+    # warm-up — the f32-input coefficients program is a different jit
+    # signature than the int16 one warmed above
     kw_f32 = {k: v for k, v in kw.items() if k != "transfer_dtype"}
+    cohort_msc_rotation_null(eeg, emg, n_surrogates=500, **kw_f32)
     t0 = time.perf_counter()
     cohort_msc_rotation_null(eeg, emg, n_surrogates=n_surrogates,
                              **kw_f32)

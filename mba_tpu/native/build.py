@@ -25,14 +25,30 @@ def _compile() -> Path:
     return _LIB
 
 
+_quantshim_failed = False
+
+
 @functools.lru_cache(maxsize=1)
 def load_quantshim() -> ctypes.CDLL:
-    """Compile (once) and load the native per-channel quantizer."""
-    if not _QLIB.exists() or _QLIB.stat().st_mtime < _QSRC.stat().st_mtime:
-        cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-               "-std=c++17", str(_QSRC), "-o", str(_QLIB)]
-        subprocess.run(cmd, check=True, capture_output=True, text=True)
-    lib = ctypes.CDLL(str(_QLIB))
+    """Compile (once) and load the native per-channel quantizer.
+
+    Raises on hosts without a working g++; callers fall back to numpy.
+    The failure is memoized (lru_cache does not cache exceptions) so the
+    compile is not retried on every quantize call.
+    """
+    global _quantshim_failed
+    if _quantshim_failed:
+        raise RuntimeError("quantshim build failed earlier this session")
+    try:
+        if (not _QLIB.exists()
+                or _QLIB.stat().st_mtime < _QSRC.stat().st_mtime):
+            cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                   "-std=c++17", str(_QSRC), "-o", str(_QLIB)]
+            subprocess.run(cmd, check=True, capture_output=True, text=True)
+        lib = ctypes.CDLL(str(_QLIB))
+    except Exception:
+        _quantshim_failed = True
+        raise
     lib.quantize_i16_per_col.restype = None
     lib.quantize_i16_per_col.argtypes = [
         ctypes.POINTER(ctypes.c_float), ctypes.c_longlong,

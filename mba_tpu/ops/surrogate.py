@@ -236,6 +236,28 @@ def _msc_spectrum_mean(eeg_frames, emg_frames, tapers, inv_fs_n):
     return coh.mean(axis=0)                          # (F, E, M)
 
 
+def _null_freq_mask(freqs: np.ndarray, window_samples: int,
+                    band: tuple[float, float] | None) -> np.ndarray:
+    """Frequency mask for the null max statistic.
+
+    DC — and Nyquist when the window length is even — are ALWAYS
+    excluded BY INDEX, matching :func:`phase_randomize`'s unrotated
+    bins: a float comparison against fs/2 misses the Nyquist bin for
+    many sampling rates (rfftfreq rounding puts it strictly below
+    fs/2, e.g. fs=93 with a 0.5-s window).  ``band`` optionally
+    restricts further.
+    """
+    mask = np.ones(len(freqs), dtype=bool)
+    mask[0] = False
+    if window_samples % 2 == 0:
+        mask[-1] = False
+    if band is not None:
+        mask &= (freqs >= band[0]) & (freqs <= band[1])
+    if not mask.any():
+        raise ValueError(f"band {band} selects no valid frequencies")
+    return mask
+
+
 def msc_phase_randomized_null(
         eeg: np.ndarray,
         emg: np.ndarray,
@@ -296,13 +318,7 @@ def msc_phase_randomized_null(
     inv_fs_n = np.float32(1.0 / (sampling_freq * window_samples))
     freqs = np.fft.rfftfreq(window_samples, d=1.0 / sampling_freq)
 
-    # frequency mask for the max statistic: DC/Nyquist always out (their
-    # zero-phase bins survive the randomisation), optional band restriction
-    fmask_np = (freqs > 0) & (freqs < sampling_freq / 2)
-    if band is not None:
-        fmask_np &= (freqs >= band[0]) & (freqs <= band[1])
-    if not fmask_np.any():
-        raise ValueError(f"band {band} selects no valid frequencies")
+    fmask_np = _null_freq_mask(freqs, window_samples, band)
     fmask = jnp.asarray(fmask_np, jnp.float32)
 
     eeg_j = jnp.asarray(eeg)

@@ -81,8 +81,7 @@ def resample_data(data: np.ndarray, original_sampling_freq,
     if data.ndim == 1:
         return np.asarray(resample_linear(data, original_sampling_freq,
                                           new_sampling_freq))
-    if axis is None:
-        raise AttributeError("For 2D signal arrays, axis needs to be defined!")
+    data, axis = check_2d_numpy_array(data, axis)
     x = data.T if axis == 1 else data
     out = np.asarray(resample_linear(x, original_sampling_freq,
                                      new_sampling_freq))

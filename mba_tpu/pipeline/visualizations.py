@@ -677,11 +677,16 @@ def plot_category_reassignment_sankey(
         print("No category reassignments available for Sankey plot.")
         return None
     del preferred_order  # ordering is frequency-driven natively
+    # the save filename keeps the stable title either way; show_title
+    # only controls the on-figure heading
     fig, _ = plot_category_sankey(
         src["from"].tolist(), src["to"].tolist(),
-        title="Category Reassignment" if show_title else "",
+        title="Category Reassignment",
         rename_dict=rename_dict or {},
         save_dir=output_dir)
+    if not show_title:
+        for ax in fig.axes:
+            ax.set_title("")
     return fig
 
 

@@ -138,6 +138,30 @@ class TestMscNull:
         assert res["observed_max"] > np.quantile(res["max_stat"], 0.95)
         assert np.quantile(res["max_stat"], 0.95) < 0.8
 
+    def test_nyquist_excluded_by_index(self):
+        # regression: rfftfreq rounding puts the Nyquist bin strictly
+        # below fs/2 for many rates (e.g. fs=93, 0.5-s window →
+        # freqs[-1]=46.49999999999999 < 46.5), so a value-based mask
+        # (freqs < fs/2) kept the never-rotated Nyquist bin in the max
+        # statistic.  The mask must exclude DC/Nyquist by INDEX.
+        from mba_tpu.ops.surrogate import _null_freq_mask
+        for fs, wl in [(93, 0.5), (128, 1.0), (100, 0.7), (2048, 2.0)]:
+            ws = int(wl * fs)
+            freqs = np.fft.rfftfreq(ws, d=1.0 / fs)
+            mask = _null_freq_mask(freqs, ws, None)
+            assert not mask[0], (fs, wl)
+            if ws % 2 == 0:
+                assert not mask[-1], (fs, wl)
+            assert mask[1:-1].all(), (fs, wl)
+        # the fs=93 case is the one a float comparison gets wrong
+        ws = int(0.5 * 93)
+        freqs = np.fft.rfftfreq(ws, d=1.0 / 93)
+        assert freqs[-1] < 93 / 2            # the rounding trap itself
+        assert not _null_freq_mask(freqs, ws, None)[-1]
+        # band restriction composes
+        mask = _null_freq_mask(freqs, ws, (8.0, 30.0))
+        assert mask.sum() == ((freqs >= 8) & (freqs <= 30)).sum()
+
     def test_band_restriction(self):
         rng = np.random.default_rng(10)
         eeg = rng.standard_normal((1024, 1)).astype(np.float32)
