@@ -13,4 +13,5 @@ available in this image):
 """
 from mba_tpu.native.build import (load_serialshim,  # noqa: F401
                                   load_quantshim,
-                                  quantize_int16_per_channel)
+                                  quantize_int16_per_channel,
+                                  quantize_int8_per_channel)

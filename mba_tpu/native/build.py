@@ -53,7 +53,37 @@ def load_quantshim() -> ctypes.CDLL:
     lib.quantize_i16_per_col.argtypes = [
         ctypes.POINTER(ctypes.c_float), ctypes.c_longlong,
         ctypes.c_longlong, ctypes.POINTER(ctypes.c_int16)]
+    lib.quantize_i8_per_col.restype = None
+    lib.quantize_i8_per_col.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_longlong,
+        ctypes.c_longlong, ctypes.POINTER(ctypes.c_int8)]
     return lib
+
+
+def _quantize_per_channel(x, bits: int):
+    import numpy as np
+    full = 32767.0 if bits == 16 else 127.0
+    dtype = np.int16 if bits == 16 else np.int8
+    x = np.ascontiguousarray(x, dtype=np.float32)
+    if x.ndim < 2:
+        raise ValueError("expected (..., n_samples, n_channels)")
+    try:
+        lib = load_quantshim()
+    except Exception:
+        peak = np.maximum(np.abs(x).max(axis=-2, keepdims=True),
+                          np.float32(1e-30))
+        return np.round(x * (full / peak)).astype(dtype)
+    out = np.empty(x.shape, dtype)
+    flat_x = x.reshape((-1,) + x.shape[-2:])
+    flat_o = out.reshape((-1,) + x.shape[-2:])
+    fp = ctypes.POINTER(ctypes.c_float)
+    fn = (lib.quantize_i16_per_col if bits == 16
+          else lib.quantize_i8_per_col)
+    ip = ctypes.POINTER(ctypes.c_int16 if bits == 16 else ctypes.c_int8)
+    for i in range(flat_x.shape[0]):
+        fn(flat_x[i].ctypes.data_as(fp), flat_x.shape[1],
+           flat_x.shape[2], flat_o[i].ctypes.data_as(ip))
+    return out
 
 
 def quantize_int16_per_channel(x) -> "np.ndarray":
@@ -65,26 +95,16 @@ def quantize_int16_per_channel(x) -> "np.ndarray":
     native SIMD quantizer when it builds; numpy fallback is
     bit-identical (both round half-to-even).
     """
-    import numpy as np
-    x = np.ascontiguousarray(x, dtype=np.float32)
-    if x.ndim < 2:
-        raise ValueError("expected (..., n_samples, n_channels)")
-    try:
-        lib = load_quantshim()
-    except Exception:
-        peak = np.maximum(np.abs(x).max(axis=-2, keepdims=True),
-                          np.float32(1e-30))
-        return np.round(x * (32767.0 / peak)).astype(np.int16)
-    out = np.empty(x.shape, np.int16)
-    flat_x = x.reshape((-1,) + x.shape[-2:])
-    flat_o = out.reshape((-1,) + x.shape[-2:])
-    fp = ctypes.POINTER(ctypes.c_float)
-    ip = ctypes.POINTER(ctypes.c_int16)
-    for i in range(flat_x.shape[0]):
-        lib.quantize_i16_per_col(
-            flat_x[i].ctypes.data_as(fp), flat_x.shape[1],
-            flat_x.shape[2], flat_o[i].ctypes.data_as(ip))
-    return out
+    return _quantize_per_channel(x, 16)
+
+
+def quantize_int8_per_channel(x) -> "np.ndarray":
+    """int8 variant: quarter the upload bytes of float32, rounding
+    error <= 2^-7 of each channel's peak.  For null engines the induced
+    statistic perturbation is below Monte-Carlo noise at practical
+    surrogate counts (tested); prefer int16 when the link affords it.
+    """
+    return _quantize_per_channel(x, 8)
 
 
 @functools.lru_cache(maxsize=1)

@@ -359,17 +359,23 @@ def cohort_msc_rotation_null(
     t_pre0 = _time.perf_counter()
     t_stage = {}
     if transfer_dtype is not None:
-        if np.dtype(transfer_dtype) == np.int16:
+        td = np.dtype(transfer_dtype)
+        if td in (np.dtype(np.int16), np.dtype(np.int8)):
             # per-(subject, channel) peak scaling: cancels exactly in
-            # MSC, so precision is 2^-15 of each channel's peak — an
-            # order of magnitude tighter than the f16 alternative at
-            # the same byte count.  Native single-thread SIMD quantizer
+            # MSC, so precision is 2^-15 (int16) / 2^-7 (int8) of each
+            # channel's peak — int16 is an order of magnitude tighter
+            # than f16 at the same byte count; int8 quarters the upload
+            # for slow links at a still-below-Monte-Carlo error
+            # (tested).  Native single-thread SIMD quantizer
             # (mba_tpu/native/quantshim.cpp) with a numpy fallback: the
             # numpy version costs ~5 memory passes over the cohort,
             # which dominated precompute on a 1-core host.
-            from mba_tpu.native import quantize_int16_per_channel
-            eeg = quantize_int16_per_channel(eeg)
-            emg = quantize_int16_per_channel(emg)
+            from mba_tpu.native import (quantize_int16_per_channel,
+                                        quantize_int8_per_channel)
+            q = (quantize_int16_per_channel if td == np.dtype(np.int16)
+                 else quantize_int8_per_channel)
+            eeg = q(eeg)
+            emg = q(emg)
         else:
             eeg = eeg.astype(transfer_dtype)
             emg = emg.astype(transfer_dtype)

@@ -275,6 +275,23 @@ class TestTransferDtype:
         assert abs(np.quantile(a["max_stat"], 0.95)
                    - np.quantile(b["max_stat"], 0.95)) < 0.01
 
+    def test_i8_transfer_close_to_f32(self):
+        # int8: quarter-precision upload; per-channel scaling still
+        # cancels in MSC, so the only effect is 2^-7-of-peak signal
+        # rounding — null quantiles shift well below Monte-Carlo noise
+        eeg = np.stack([_toy_subject(s, coupled=True)[0] for s in range(2)])
+        emg = np.stack([_toy_subject(s, coupled=True)[1] for s in range(2)])
+        eeg = eeg * np.array([1e-2, 30.0], np.float32)
+        kw = dict(sampling_freq=FS, n_surrogates=256,
+                  window_length_sec=0.5, band=(8.0, 40.0),
+                  surrogate_chunk=128, seed=2, compute_dtype=jnp.float32)
+        a = cohort_msc_rotation_null(eeg, emg, **kw)
+        b = cohort_msc_rotation_null(eeg, emg, transfer_dtype=np.int8,
+                                     **kw)
+        np.testing.assert_allclose(a["observed"], b["observed"], atol=0.02)
+        assert abs(np.quantile(a["max_stat"], 0.95)
+                   - np.quantile(b["max_stat"], 0.95)) < 0.03
+
 
 class TestValidation:
     def test_band_excludes_dc_and_nyquist(self):

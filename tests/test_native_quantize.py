@@ -64,3 +64,23 @@ class TestNativeQuantizer:
         np.testing.assert_array_equal(
             quantize_int16_per_channel(view),
             _numpy_reference(np.ascontiguousarray(view)))
+
+
+class TestInt8Quantizer:
+    def test_bit_identical_to_numpy(self):
+        from mba_tpu.native import quantize_int8_per_channel
+        rng = np.random.default_rng(5)
+        x = (rng.standard_normal((2048, 8))
+             * np.array([1e-3, 1.0, 50.0, 0.2, 1.0, 2.0, 1e2, 1.0])
+             ).astype(np.float32)
+        peak = np.maximum(np.abs(x).max(axis=-2, keepdims=True),
+                          np.float32(1e-30))
+        ref = np.round(x * (127.0 / peak)).astype(np.int8)
+        np.testing.assert_array_equal(quantize_int8_per_channel(x), ref)
+
+    def test_peak_maps_to_127(self):
+        from mba_tpu.native import quantize_int8_per_channel
+        x = np.zeros((64, 1), np.float32)
+        x[10, 0] = -2.0
+        q = quantize_int8_per_channel(x)
+        assert q[10, 0] == -127
