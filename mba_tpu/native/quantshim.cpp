@@ -17,50 +17,45 @@
 #include <cstdint>
 #include <vector>
 
+namespace {
+
+template <typename OutT, int kFullScale>
+void quantize_per_col(const float* x, long long rows, long long cols,
+                      OutT* out) {
+    std::vector<float> scale(static_cast<size_t>(cols), 1e-30f);
+    float* peak = scale.data();
+    for (long long r = 0; r < rows; ++r) {
+        const float* row = x + r * cols;
+        for (long long c = 0; c < cols; ++c) {
+            float a = std::fabs(row[c]);
+            if (a > peak[c]) peak[c] = a;
+        }
+    }
+    for (long long c = 0; c < cols; ++c)
+        scale[static_cast<size_t>(c)] =
+            static_cast<float>(kFullScale) / peak[c];
+    for (long long r = 0; r < rows; ++r) {
+        const float* row = x + r * cols;
+        OutT* orow = out + r * cols;
+        for (long long c = 0; c < cols; ++c)
+            orow[c] = static_cast<OutT>(std::rint(row[c] * scale[c]));
+    }
+}
+
+}  // namespace
+
 extern "C" {
 
 void quantize_i16_per_col(const float* x, long long rows, long long cols,
                           int16_t* out) {
-    std::vector<float> scale(static_cast<size_t>(cols), 1e-30f);
-    float* peak = scale.data();
-    for (long long r = 0; r < rows; ++r) {
-        const float* row = x + r * cols;
-        for (long long c = 0; c < cols; ++c) {
-            float a = std::fabs(row[c]);
-            if (a > peak[c]) peak[c] = a;
-        }
-    }
-    for (long long c = 0; c < cols; ++c)
-        scale[static_cast<size_t>(c)] = 32767.0f / peak[c];
-    for (long long r = 0; r < rows; ++r) {
-        const float* row = x + r * cols;
-        int16_t* orow = out + r * cols;
-        for (long long c = 0; c < cols; ++c)
-            orow[c] = static_cast<int16_t>(std::rint(row[c] * scale[c]));
-    }
+    quantize_per_col<int16_t, 32767>(x, rows, cols, out);
 }
 
-// int8 variant (quarter-precision uploads): same per-column peak
-// scaling, error <= 2^-7 of each channel's peak.
+// int8 variant (quarter-precision uploads): error <= 2^-7 of each
+// channel's peak.
 void quantize_i8_per_col(const float* x, long long rows, long long cols,
                          int8_t* out) {
-    std::vector<float> scale(static_cast<size_t>(cols), 1e-30f);
-    float* peak = scale.data();
-    for (long long r = 0; r < rows; ++r) {
-        const float* row = x + r * cols;
-        for (long long c = 0; c < cols; ++c) {
-            float a = std::fabs(row[c]);
-            if (a > peak[c]) peak[c] = a;
-        }
-    }
-    for (long long c = 0; c < cols; ++c)
-        scale[static_cast<size_t>(c)] = 127.0f / peak[c];
-    for (long long r = 0; r < rows; ++r) {
-        const float* row = x + r * cols;
-        int8_t* orow = out + r * cols;
-        for (long long c = 0; c < cols; ++c)
-            orow[c] = static_cast<int8_t>(std::rint(row[c] * scale[c]));
-    }
+    quantize_per_col<int8_t, 127>(x, rows, cols, out);
 }
 
 }  // extern "C"

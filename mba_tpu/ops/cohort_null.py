@@ -433,32 +433,33 @@ def cohort_msc_rotation_null(
             n_total += n_dev * chunk
     else:
         # fused Pallas chunk on real TPU backends (the statistic tile
-        # stays in VMEM — ~4x the XLA lowering, see BENCH_ROOFLINE.json
-        # and ops/pallas_null.py); automatic fallback to the XLA core
-        pallas_state = None
+        # stays in VMEM — 2.6x the XLA lowering, see BENCH_ROOFLINE.json
+        # and ops/pallas_null.py); automatic per-chunk fallback to the
+        # XLA core, so a failed Pallas build costs nothing but the
+        # attempt (both engines draw from the same key stream and
+        # compute the same statistic)
         from mba_tpu.ops.coherence import _pallas_available
-        if _pallas_available():
-            try:
-                from mba_tpu.ops import pallas_null as _pn
-                coefT = _pn.prepare_null_coeffs(coef_all, compute_dtype)
-                key_probe, _ = jax.random.split(key)
-                _pn.null_chunk_pallas(key_probe, coefT, base_flat,
-                                      observed_flat, chunk, K, J,
-                                      P_feats, compute_dtype)
-                pallas_state = (_pn, coefT)
-            except Exception as e:          # pragma: no cover - hw path
-                if verbose:
-                    print(f"[rotation-null] Pallas path unavailable "
-                          f"({e!r}); using the XLA core")
+        use_pallas = _pallas_available()
+        pallas_state = None
         while n_total < n_surrogates:
             key, sub = jax.random.split(key)
-            if pallas_state is not None:
-                _pn, coefT = pallas_state
-                ms, inc = _pn.null_chunk_pallas(
-                    sub, coefT, base_flat, observed_flat, chunk, K, J,
-                    P_feats, compute_dtype)
-                counts = counts + inc
-            else:
+            if use_pallas:
+                try:
+                    if pallas_state is None:
+                        from mba_tpu.ops import pallas_null as _pn
+                        pallas_state = (_pn, _pn.prepare_null_coeffs(
+                            coef_all, compute_dtype))
+                    _pn, coefT = pallas_state
+                    ms, inc = _pn.null_chunk_pallas(
+                        sub, coefT, base_flat, observed_flat, chunk, K,
+                        J, P_feats, compute_dtype)
+                    counts = counts + inc
+                except Exception as e:      # pragma: no cover - hw path
+                    use_pallas = False
+                    if verbose:
+                        print(f"[rotation-null] Pallas path unavailable "
+                              f"({e!r}); using the XLA core")
+            if not use_pallas:
                 ms, counts = _null_chunk_jit(sub, coef_all, base_flat,
                                              observed_flat, counts,
                                              chunk, K, compute_dtype)
