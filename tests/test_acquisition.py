@@ -226,3 +226,29 @@ class TestCrashResilience:
         final = next(tmp_path.glob("*Final Save*.csv"))
         # identical header layout: unnamed time index + channel columns
         assert open(interim).readline() == open(final).readline()
+
+
+class TestGuidedCalibrationSession:
+    def test_headless_session_fits_power_law(self, capsys):
+        from mba_tpu.pipeline.sensor_calibration import (
+            run_calibration_session)
+        a_true, b_true = 2.8708, 4.1071
+        weights = [2.5, 5.0, 10.0, 20.0]
+        volts = [(w / a_true) ** (1.0 / b_true) for w in weights]
+        state = {"i": -1}
+
+        class SharedDict(dict):
+            # each prompt advances to the next held weight
+            def get(self, key):
+                return volts[state["i"]] if key == "fsr" else None
+
+        def prompt(_msg):
+            state["i"] += 1
+
+        out = run_calibration_session(SharedDict(), weights_kg=weights,
+                                      hold_sec=0.05, poll_hz=200.0,
+                                      prompt=prompt)
+        assert abs(out["a"] - a_true) < 0.05
+        assert abs(out["b"] - b_true) < 0.05
+        assert out["rmse_kg"] < 0.05
+        assert "Fitted F" in capsys.readouterr().out

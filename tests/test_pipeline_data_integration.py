@@ -258,3 +258,24 @@ class TestLoaders:
         assert out == {"Familiarity": 4, "Liking": 5}
         # missing trial dir → empty dict in continue mode
         assert di.fetch_trial_questionnaire(tmp_path, song_id=7) == {}
+
+
+class TestFetchAllAccuraciesAndQuestionnaires:
+    def test_collects_songs_and_silences(self, tmp_path):
+        import json
+        import numpy as np
+        from mba_tpu.pipeline import data_integration as di
+        for name in ("song_000", "silence_000"):
+            trial = tmp_path / name
+            trial.mkdir()
+            (trial / "2024-01-01 12_00_30 Familiarity Check.json"
+             ).write_text(json.dumps({"Familiarity": 2}))
+            (trial / "2024-01-01 12_00_40 Trial Accuracy Results.csv"
+             ).write_text("time,accuracy\n0.0,0.1\n1.0,0.2\n")
+        acc, quest = di.fetch_all_accuracies_and_questionnaires(
+            tmp_path, max_song_ind=2, max_silence_ind=1)
+        assert set(acc) == {"song_000", "song_001", "silence_000"}
+        assert acc["song_000"] is not None
+        assert acc["song_001"] is None          # missing → continue mode
+        assert quest["song_000"] == {"Familiarity": 2}
+        assert quest["song_001"] == {}

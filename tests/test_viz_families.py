@@ -262,3 +262,11 @@ class TestReferenceNamedWrappers:
         assert arr.shape == (4, 2) and ax == 1
         with pytest.raises(AttributeError):
             check_2d_numpy_array(np.zeros((4, 2)))
+
+    def test_plot_cmc_per_category_dict_api(self, tmp_path):
+        rng = np.random.default_rng(3)
+        fig, ax = viz.plot_cmc_per_category(
+            {"Happy": rng.random((4, 30)), "Silence": rng.random((4, 30))},
+            x_axis=np.linspace(0, 29, 30), save_dir=tmp_path)
+        assert len(ax.lines) >= 2
+        assert list(tmp_path.glob("*.png"))
