@@ -226,11 +226,19 @@ def _null_chunk_jit(key, coef_all, base_cohort, observed, counts,
                             n_chunk, K, compute_dtype)
 
 
-def _make_sharded_chunk(mesh, n_chunk: int, K: int, compute_dtype):
+def _make_sharded_chunk(mesh, n_chunk: int, K: int, compute_dtype,
+                        pallas: bool = False, J: int | None = None,
+                        P_feats: int | None = None,
+                        pallas_interpret: bool = False):
     """shard_map variant: surrogates split over every device in the mesh.
 
     Inputs are replicated except the per-device keys; per-cell exceedance
     counts are psum-reduced over the surrogate axis, max stats gathered.
+
+    ``pallas=True`` runs the fused kernel (ops/pallas_null.py) inside
+    the per-device body — the second positional input is then the
+    relayouted ``coefT`` from ``prepare_null_coeffs`` instead of
+    ``coef_all`` (both engines draw identical φ per key).
     """
     from jax.sharding import Mesh, PartitionSpec as P
     from jax import shard_map
@@ -238,18 +246,33 @@ def _make_sharded_chunk(mesh, n_chunk: int, K: int, compute_dtype):
     flat = Mesh(mesh.devices.reshape(-1), ("surr",))
     n_dev = flat.devices.size
 
-    def per_device(keys, coef_all, base_cohort, observed, counts):
+    def per_device(keys, coefs, base_cohort, observed, counts):
         # accumulate the *increment* locally, psum it, then add to the
         # replicated running counts (psum-ing counts directly would scale
         # the carried-over total by n_devices).
-        ms, inc = _null_chunk_core(keys[0], coef_all, base_cohort,
-                                   observed, jnp.zeros_like(counts),
-                                   n_chunk, K, compute_dtype)
+        if pallas:
+            from mba_tpu.ops.pallas_null import null_chunk_pallas_body
+            # keys are 'surr'-varying, the rest replicated — promote so
+            # the pallas_call's vma checker sees consistent inputs
+            coefs_v = jax.lax.pvary(coefs, "surr")
+            base_v = jax.lax.pvary(base_cohort, "surr")
+            obs_v = jax.lax.pvary(observed, "surr")
+            ms, inc = null_chunk_pallas_body(
+                keys[0], coefs_v, base_v, obs_v, n_chunk, K, J,
+                P_feats, compute_dtype, interpret=pallas_interpret)
+        else:
+            ms, inc = _null_chunk_core(keys[0], coefs, base_cohort,
+                                       observed, jnp.zeros_like(counts),
+                                       n_chunk, K, compute_dtype)
         return ms, counts + jax.lax.psum(inc, "surr")
 
+    # interpret-mode pallas generates block-slice indices with empty vma
+    # inside the interpreter, which the checker rejects — disable the
+    # static check for that (test-only) configuration
     fn = shard_map(per_device, mesh=flat,
                    in_specs=(P("surr"), P(), P(), P(), P()),
-                   out_specs=(P("surr"), P()))
+                   out_specs=(P("surr"), P()),
+                   check_vma=not pallas_interpret)
     return jax.jit(fn), flat, n_dev
 
 
@@ -416,19 +439,44 @@ def cohort_msc_rotation_null(
     max_stats = []
     n_total = 0
     if mesh is not None:
+        # the fused Pallas kernel runs per device inside shard_map on
+        # real TPU backends (same engine as single-chip; XLA core
+        # elsewhere)
+        from mba_tpu.ops.coherence import _pallas_available
+        use_pallas = _pallas_available()
+        coefs_in = coef_all
+        if use_pallas:
+            try:
+                from mba_tpu.ops.pallas_null import prepare_null_coeffs
+                coefs_in = prepare_null_coeffs(coef_all, compute_dtype)
+            except Exception:               # pragma: no cover - hw path
+                use_pallas = False
         step, flat_mesh, n_dev = _make_sharded_chunk(
-            mesh, chunk, K, compute_dtype)
+            mesh, chunk, K, compute_dtype, pallas=use_pallas, J=J,
+            P_feats=P_feats)
         from jax.sharding import NamedSharding, PartitionSpec as Pspec
         key_shard = NamedSharding(flat_mesh, Pspec("surr"))
         rep = NamedSharding(flat_mesh, Pspec())
-        coef_all = jax.device_put(coef_all, rep)
+        coefs_in = jax.device_put(coefs_in, rep)
         base_flat_d = jax.device_put(base_flat, rep)
         obs_d = jax.device_put(observed_flat, rep)
         counts = jax.device_put(counts, rep)
         while n_total < n_surrogates:
             key, sub = jax.random.split(key)
             keys = jax.device_put(jax.random.split(sub, n_dev), key_shard)
-            ms, counts = step(keys, coef_all, base_flat_d, obs_d, counts)
+            try:
+                ms, counts = step(keys, coefs_in, base_flat_d, obs_d,
+                                  counts)
+            except Exception:               # pragma: no cover - hw path
+                if not use_pallas:
+                    raise
+                # rebuild without Pallas and continue the key stream
+                use_pallas = False
+                coefs_in = jax.device_put(coef_all, rep)
+                step, flat_mesh, n_dev = _make_sharded_chunk(
+                    mesh, chunk, K, compute_dtype)
+                ms, counts = step(keys, coefs_in, base_flat_d, obs_d,
+                                  counts)
             max_stats.append(np.asarray(ms))
             n_total += n_dev * chunk
     else:

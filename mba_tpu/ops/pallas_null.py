@@ -150,17 +150,12 @@ def prepare_null_coeffs(coef_all, compute_dtype):
     return coefT.astype(compute_dtype)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("n_chunk", "K", "J", "P",
-                                    "compute_dtype", "interpret"))
-def null_chunk_pallas(key, coefT, base, obs, n_chunk: int, K: int,
-                      J: int, P: int, compute_dtype,
-                      interpret: bool = False):
-    """Draw one chunk of surrogates and evaluate it with the fused
-    kernel — ONE compiled program (phase draw, trig features, relayout
-    and the pallas_call all trace together; eager per-op dispatch costs
-    ~100 ms/chunk of tunnel round trips on remote backends).  Same
-    phase-draw layout as ``_null_chunk_core`` (identical ``key`` →
+def null_chunk_pallas_body(key, coefT, base, obs, n_chunk: int, K: int,
+                           J: int, P: int, compute_dtype,
+                           interpret: bool = False):
+    """Traceable fused-chunk body (also usable inside ``shard_map``).
+
+    Same phase-draw layout as ``_null_chunk_core`` (identical ``key`` →
     identical φ draws).
     """
     from mba_tpu.ops.cohort_null import phase_features
@@ -176,3 +171,11 @@ def null_chunk_pallas(key, coefT, base, obs, n_chunk: int, K: int,
     return _pallas_call_null(G, coefT, base.astype(jnp.float32),
                              obs.astype(jnp.float32), n_chunk, J,
                              interpret)
+
+
+# one compiled program per configuration: phase draw, trig features,
+# relayout and the pallas_call all trace together (eager per-op dispatch
+# costs ~100 ms/chunk of tunnel round trips on remote backends)
+null_chunk_pallas = functools.partial(
+    jax.jit, static_argnames=("n_chunk", "K", "J", "P", "compute_dtype",
+                              "interpret"))(null_chunk_pallas_body)

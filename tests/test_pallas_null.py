@@ -96,3 +96,38 @@ class TestPallasNullParity:
         stat_tiled = jnp.einsum("fsk,fkn->fsn", Gt, coefT)
         np.testing.assert_allclose(np.asarray(stat_core),
                                    np.asarray(stat_tiled), atol=1e-4)
+
+
+class TestShardedPallas:
+    def test_sharded_pallas_matches_sharded_xla(self):
+        # the fused kernel inside shard_map (interpret mode on the
+        # 8-device CPU mesh) must reproduce the XLA per-device core
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as Pspec
+        from mba_tpu.ops.cohort_null import _make_sharded_chunk
+        from mba_tpu.ops.pallas_null import prepare_null_coeffs
+
+        J, nF, N, K, S = 3, 4, 512, 3, 8
+        coef, base, obs, P = _toy(J, nF, N, K, seed=6)
+        mesh = Mesh(np.array(jax.devices()[:4]), ("surr",))
+        rep = NamedSharding(mesh, Pspec())
+        key_shard = NamedSharding(mesh, Pspec("surr"))
+        keys = jax.device_put(
+            jax.random.split(jax.random.PRNGKey(11), 4), key_shard)
+        counts0 = jax.device_put(jnp.zeros((nF, N), jnp.int32), rep)
+
+        step_x, _, _ = _make_sharded_chunk(mesh, S, K, jnp.float32)
+        ms_x, c_x = step_x(keys, jax.device_put(coef, rep),
+                           jax.device_put(base, rep),
+                           jax.device_put(obs, rep), counts0)
+
+        coefT = prepare_null_coeffs(coef, jnp.float32)
+        step_p, _, _ = _make_sharded_chunk(
+            mesh, S, K, jnp.float32, pallas=True, J=J, P_feats=P,
+            pallas_interpret=True)
+        ms_p, c_p = step_p(keys, jax.device_put(coefT, rep),
+                           jax.device_put(base, rep),
+                           jax.device_put(obs, rep), counts0)
+
+        np.testing.assert_allclose(np.asarray(ms_x), np.asarray(ms_p),
+                                   atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(c_x), np.asarray(c_p))
