@@ -254,9 +254,12 @@ def _make_sharded_chunk(mesh, n_chunk: int, K: int, compute_dtype,
             from mba_tpu.ops.pallas_null import null_chunk_pallas_body
             # keys are 'surr'-varying, the rest replicated — promote so
             # the pallas_call's vma checker sees consistent inputs
-            coefs_v = jax.lax.pvary(coefs, "surr")
-            base_v = jax.lax.pvary(base_cohort, "surr")
-            obs_v = jax.lax.pvary(observed, "surr")
+            # (pcast is the successor of the deprecated pvary)
+            def _vary(x):
+                return jax.lax.pcast(x, "surr", to="varying")
+            coefs_v = _vary(coefs)
+            base_v = _vary(base_cohort)
+            obs_v = _vary(observed)
             ms, inc = null_chunk_pallas_body(
                 keys[0], coefs_v, base_v, obs_v, n_chunk, K, J,
                 P_feats, compute_dtype, interpret=pallas_interpret)
@@ -467,8 +470,11 @@ def cohort_msc_rotation_null(
             try:
                 ms, counts = step(keys, coefs_in, base_flat_d, obs_d,
                                   counts)
+                # dispatch is async: sync INSIDE the try so execution-
+                # time Pallas faults also reach the fallback
+                ms_np = np.asarray(ms)
             except Exception:               # pragma: no cover - hw path
-                if not use_pallas:
+                if not use_pallas or coef_all is None:
                     raise
                 # rebuild without Pallas and continue the key stream
                 use_pallas = False
@@ -477,11 +483,16 @@ def cohort_msc_rotation_null(
                     mesh, chunk, K, compute_dtype)
                 ms, counts = step(keys, coefs_in, base_flat_d, obs_d,
                                   counts)
-            max_stats.append(np.asarray(ms))
+                ms_np = np.asarray(ms)
+            if use_pallas:
+                # first synced Pallas chunk proves the path: drop the
+                # ~3 GB replicated f32 tensor kept only for the fallback
+                coef_all = None
+            max_stats.append(ms_np)
             n_total += n_dev * chunk
     else:
         # fused Pallas chunk on real TPU backends (the statistic tile
-        # stays in VMEM — 2.6x the XLA lowering, see BENCH_ROOFLINE.json
+        # stays in VMEM — 4.1x the XLA lowering, see BENCH_ROOFLINE.json
         # and ops/pallas_null.py); automatic per-chunk fallback to the
         # XLA core, so a failed Pallas build costs nothing but the
         # attempt (both engines draw from the same key stream and
@@ -491,6 +502,7 @@ def cohort_msc_rotation_null(
         pallas_state = None
         while n_total < n_surrogates:
             key, sub = jax.random.split(key)
+            ms_np = None
             if use_pallas:
                 try:
                     if pallas_state is None:
@@ -501,8 +513,16 @@ def cohort_msc_rotation_null(
                     ms, inc = _pn.null_chunk_pallas(
                         sub, coefT, base_flat, observed_flat, chunk, K,
                         J, P_feats, compute_dtype)
+                    # dispatch is async: sync INSIDE the try so
+                    # execution-time faults also reach the fallback
+                    ms_np = np.asarray(ms)
                     counts = counts + inc
+                    # first synced chunk proves the path: drop the f32
+                    # coefficient tensor kept only for the fallback
+                    coef_all = None
                 except Exception as e:      # pragma: no cover - hw path
+                    if coef_all is None:
+                        raise
                     use_pallas = False
                     if verbose:
                         print(f"[rotation-null] Pallas path unavailable "
@@ -511,7 +531,8 @@ def cohort_msc_rotation_null(
                 ms, counts = _null_chunk_jit(sub, coef_all, base_flat,
                                              observed_flat, counts,
                                              chunk, K, compute_dtype)
-            max_stats.append(np.asarray(ms))
+                ms_np = np.asarray(ms)
+            max_stats.append(ms_np)
             n_total += chunk
 
     # surplus draws in the last chunk are equally valid null samples; the

@@ -100,19 +100,20 @@ class TestPallasNullParity:
 
 class TestShardedPallas:
     def test_sharded_pallas_matches_sharded_xla(self):
-        # the fused kernel inside shard_map (interpret mode on the
-        # 8-device CPU mesh) must reproduce the XLA per-device core
+        # the fused kernel inside shard_map (interpret mode over all 8
+        # virtual CPU devices) must reproduce the XLA per-device core
         from jax.sharding import Mesh, NamedSharding, PartitionSpec as Pspec
         from mba_tpu.ops.cohort_null import _make_sharded_chunk
         from mba_tpu.ops.pallas_null import prepare_null_coeffs
 
         J, nF, N, K, S = 3, 4, 512, 3, 8
         coef, base, obs, P = _toy(J, nF, N, K, seed=6)
-        mesh = Mesh(np.array(jax.devices()[:4]), ("surr",))
+        n_dev = len(jax.devices())
+        mesh = Mesh(np.array(jax.devices()), ("surr",))
         rep = NamedSharding(mesh, Pspec())
         key_shard = NamedSharding(mesh, Pspec("surr"))
         keys = jax.device_put(
-            jax.random.split(jax.random.PRNGKey(11), 4), key_shard)
+            jax.random.split(jax.random.PRNGKey(11), n_dev), key_shard)
         counts0 = jax.device_put(jnp.zeros((nF, N), jnp.int32), rep)
 
         step_x, _, _ = _make_sharded_chunk(mesh, S, K, jnp.float32)

@@ -133,6 +133,21 @@ def kernel_cmc_fullgrid():
     return sec, fl, by, f"CMC full-grid jackknife ({wc} windows)"
 
 
+
+def _null_problem():
+    """Shared problem size + inputs for the rotation-null A/B rows."""
+    J, nF, N, K = 12, 175, E * M, 5
+    P = K * (K - 1)
+    S = 500
+    rng = np.random.default_rng(1)
+    coef = jax.device_put(rng.standard_normal((J, nF, N, P))
+                          .astype(np.float32) * 0.05)
+    base = jax.device_put(rng.uniform(0.1, 0.3, (nF, N))
+                          .astype(np.float32))
+    obs = jax.device_put(np.asarray(base) + 0.05)
+    return coef, base, obs, J, nF, N, K, P, S
+
+
 def kernel_rotation_null():
     """Cohort-null surrogate contraction: 500 surrogates x 12 subjects."""
     import functools
@@ -161,6 +176,33 @@ def kernel_rotation_null():
     by = (2.0 * J * nF * N * P + 4.0 * S * J * P * nF
           + 2.0 * 4.0 * S * nF * N)
     return sec, fl, by, f"rotation-null contraction ({S} surrogates)"
+
+
+def kernel_rotation_null_pallas():
+    """Fused Pallas null chunk (ops/pallas_null.py): the statistic tile
+    never leaves VMEM, so minimum traffic is just the coefficient read
+    + phase features + tiny outputs."""
+    import functools
+    from mba_tpu.ops.pallas_null import (prepare_null_coeffs,
+                                         null_chunk_pallas_body)
+
+    coef, base, obs, J, nF, N, K, P, S = _null_problem()
+    coefT = prepare_null_coeffs(coef, jnp.bfloat16)
+    float(jnp.asarray(coefT).astype(jnp.float32).sum())
+    fn = _scalarize(functools.partial(null_chunk_pallas_body, n_chunk=S,
+                                      K=K, J=J, P=P,
+                                      compute_dtype=jnp.bfloat16))
+
+    def run():
+        float(fn(jax.random.PRNGKey(0), coefT, base, obs))
+
+    sec = _time_reps(run)
+    fl = 2.0 * S * J * P * N * nF
+    JP_pad = coefT.shape[1]
+    by = (2.0 * nF * JP_pad * N          # coefT streamed once
+          + 2.0 * 2.0 * S * J * P * nF    # G features: write + read
+          + 4.0 * (S + nF * N))           # outputs
+    return sec, fl, by, f"rotation-null PALLAS fused ({S} surrogates)"
 
 
 def kernel_permutation_tmaps():
@@ -232,7 +274,7 @@ def main():
     # that never exists in production).  That path is covered by the
     # end-to-end permutations/s figure in bench.py instead.
     for k in (kernel_cmc_fullgrid, kernel_rotation_null,
-              kernel_batched_reml):
+              kernel_rotation_null_pallas, kernel_batched_reml):
         try:
             sec, fl, by, label = k()
         except Exception as e:      # pragma: no cover - env-dependent
