@@ -187,3 +187,15 @@ class TestMscNull:
             quantiles=(0.95,), surrogate_chunk=32, max_stat_only=True)
         assert res["max_stat"].shape == (64,)
         assert 0 < res["null_quantiles"][0.95] <= 1
+
+
+class TestAutoVmapWidth:
+    def test_bounds(self):
+        from mba_tpu.ops.surrogate import _auto_vmap_width
+        # single pair: generous width, capped at the chunk size
+        assert _auto_vmap_width(119, 4096, 5, 1, 1, 64) == 64
+        # 64x64 channels: transient tensors are huge -> width collapses
+        w = _auto_vmap_width(119, 4096, 5, 64, 64, 64)
+        assert 1 <= w <= 4
+        # never below 1 even for absurd sizes
+        assert _auto_vmap_width(10_000, 8192, 8, 256, 256, 512) == 1
