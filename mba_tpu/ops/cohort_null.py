@@ -467,26 +467,37 @@ def cohort_msc_rotation_null(
         while n_total < n_surrogates:
             key, sub = jax.random.split(key)
             keys = jax.device_put(jax.random.split(sub, n_dev), key_shard)
+            # snapshot the running exceedance counts so a mid-chunk
+            # Pallas fault cannot poison the fallback's accumulator
+            counts_prev = counts
             try:
                 ms, counts = step(keys, coefs_in, base_flat_d, obs_d,
-                                  counts)
+                                  counts_prev)
                 # dispatch is async: sync INSIDE the try so execution-
                 # time Pallas faults also reach the fallback
                 ms_np = np.asarray(ms)
             except Exception:               # pragma: no cover - hw path
-                if not use_pallas or coef_all is None:
+                if not use_pallas:
                     raise
                 # rebuild without Pallas and continue the key stream
                 use_pallas = False
+                if coef_all is None:
+                    # the f32 tensor was dropped once the Pallas path
+                    # proved out; re-derive it from the still-resident
+                    # signals (~coeffs_sec, cheaper than holding GBs)
+                    _, coef_all, _ = _cohort_rotation_coeffs(
+                        eeg_d, emg_d, starts_all, weights_all,
+                        tapers_j, window_samples, lo, hi, wc)
                 coefs_in = jax.device_put(coef_all, rep)
                 step, flat_mesh, n_dev = _make_sharded_chunk(
                     mesh, chunk, K, compute_dtype)
                 ms, counts = step(keys, coefs_in, base_flat_d, obs_d,
-                                  counts)
+                                  counts_prev)
                 ms_np = np.asarray(ms)
             if use_pallas:
                 # first synced Pallas chunk proves the path: drop the
                 # ~3 GB replicated f32 tensor kept only for the fallback
+                # (recomputable above if a later transient fault hits)
                 coef_all = None
             max_stats.append(ms_np)
             n_total += n_dev * chunk
@@ -519,11 +530,16 @@ def cohort_msc_rotation_null(
                     counts = counts + inc
                     # first synced chunk proves the path: drop the f32
                     # coefficient tensor kept only for the fallback
+                    # (recomputable below if a later transient fault hits)
                     coef_all = None
                 except Exception as e:      # pragma: no cover - hw path
-                    if coef_all is None:
-                        raise
                     use_pallas = False
+                    if coef_all is None:
+                        # dropped after the path proved out; re-derive
+                        # from the still-resident signals
+                        _, coef_all, _ = _cohort_rotation_coeffs(
+                            eeg_d, emg_d, starts_all, weights_all,
+                            tapers_j, window_samples, lo, hi, wc)
                     if verbose:
                         print(f"[rotation-null] Pallas path unavailable "
                               f"({e!r}); using the XLA core")

@@ -165,7 +165,12 @@ def null_chunk_pallas_body(key, coefT, base, obs, n_chunk: int, K: int,
                              minval=0.0, maxval=2.0 * np.pi)
     G = phase_features(phi)                          # (J, S, nF, P)
     G = jnp.transpose(G, (2, 1, 0, 3)).reshape(nF, n_chunk, J * P)
-    S_pad = _round_up(n_chunk, 8)
+    # sub-32-bit dtypes (bf16/f16) tile at 16 sublanes on TPU; an
+    # 8-multiple pad can fail Mosaic lowering and silently cost the
+    # fused-kernel win via the fallback (padded rows are sliced away,
+    # so the wider pad is free)
+    S_pad = _round_up(n_chunk,
+                      16 if jnp.dtype(compute_dtype).itemsize < 4 else 8)
     G = jnp.pad(G, [(0, 0), (0, S_pad - n_chunk),
                     (0, JP_pad - J * P)]).astype(compute_dtype)
     return _pallas_call_null(G, coefT, base.astype(jnp.float32),

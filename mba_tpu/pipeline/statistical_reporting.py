@@ -14,6 +14,7 @@ MI summaries (:1924-2113), and pipeline-gap recommendations (:871-1029).
 """
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 from datetime import datetime
 from pathlib import Path
@@ -45,10 +46,10 @@ def _level_int(level_str) -> int | None:
     if isinstance(level_str, (int, float)) and not (
             isinstance(level_str, float) and np.isnan(level_str)):
         return int(level_str)
-    try:
-        return int(str(level_str).split(" ")[1])
-    except (IndexError, ValueError):
-        return None
+    # same pattern as the reference (statistical_reporting.py:49): the
+    # level token need not lead the string, and "Foo 3" must NOT parse
+    m = re.search(r"Level\s+(\d+)", str(level_str), re.IGNORECASE)
+    return int(m.group(1)) if m else None
 
 
 def _level_filter(df: pd.DataFrame, level_idx: int | None,

@@ -137,3 +137,14 @@ class TestLookupParity:
         assert ours._lookup_icc(diag, "nope", None, cfg_our) is None
         assert ref_reporting._lookup_icc(diag, "nope", None,
                                          cfg_ref) is None
+
+    def test_level_int_parity(self, ref_reporting):
+        """ADVICE r2: level parsing must use the reference's regex — the
+        'Level N' token need not lead the string, and strings whose
+        second token merely happens to be numeric must NOT parse."""
+        from mba_tpu.pipeline import statistical_reporting as ours
+        cases = ["Level 1 (Category or Silence)", "level 3", "Level 12",
+                 "Adjusted Level 2 (post-hoc)", "Foo 3", "Group 7 items",
+                 "Level", "", "no digits here", 4, 2.0]
+        for s in cases:
+            assert ours._level_int(s) == ref_reporting._level_int(s), s
