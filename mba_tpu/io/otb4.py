@@ -144,6 +144,63 @@ def read_otb4(otb4_path: str | Path, verbose: bool = False) -> dict:
         shutil.rmtree(tmp_dir, ignore_errors=True)
 
 
+def write_otb4(otb4_path: str | Path, data: np.ndarray,
+               sampling_freq: float, device: str = "MuoviPlus",
+               gain: float = 1.0, adc_nbits: int = 16,
+               adc_range: float = 2.4) -> Path:
+    """Write a single-stream int16 OTB4 archive (inverse of
+    :func:`read_otb4`'s int16 path, reference otb_file_handling.py:
+    387-425).  Used to synthesize ADC-realistic cohorts that exercise
+    the real importer (round-trip tested), and to re-export data.
+
+    data : (n_channels, n_samples) — float32/64 values are taken as mV
+        and converted to ADC counts via the inverse of the reader's
+        ``raw * ADC_Range / 2**ADC_Nbits * 1000 / Gain`` (clipped to the
+        int16 range); an int16 array is written verbatim as ADC counts.
+    """
+    otb4_path = Path(otb4_path)
+    data = np.asarray(data)
+    if data.ndim != 2:
+        raise ValueError("data must be (n_channels, n_samples)")
+    n_ch = int(data.shape[0])
+    if data.dtype == np.int16:
+        counts = data
+    else:
+        factor = adc_range / (2 ** adc_nbits) * 1000.0 / gain  # mV/count
+        counts = np.clip(np.rint(data / factor), -32768,
+                         32767).astype(np.int16)
+
+    xml = (
+        '<?xml version="1.0" encoding="utf-8"?>\n'
+        '<ArrayOfTrackInfo>\n'
+        '  <TrackInfo>\n'
+        f'    <Device>{device}</Device>\n'
+        f'    <NumberOfChannels>{n_ch}</NumberOfChannels>\n'
+        f'    <Gain>{gain}</Gain>\n'
+        f'    <ADC_Nbits>{adc_nbits}</ADC_Nbits>\n'
+        f'    <ADC_Range>{adc_range}</ADC_Range>\n'
+        f'    <SamplingFrequency>{int(sampling_freq)}</SamplingFrequency>\n'
+        '    <SignalStreamPath>Signal_000.sig</SignalStreamPath>\n'
+        '  </TrackInfo>\n'
+        '</ArrayOfTrackInfo>\n')
+
+    tmp_dir = tempfile.mkdtemp(prefix="_tmp_otb4_write_")
+    try:
+        xml_path = os.path.join(tmp_dir, "Tracks_000.xml")
+        with open(xml_path, "w") as f:
+            f.write(xml)
+        sig_path = os.path.join(tmp_dir, "Signal_000.sig")
+        # reader reshapes (n_ch, -1) order='F' ⇒ write column-major
+        counts.astype(np.int16).T.reshape(-1).tofile(sig_path)
+        otb4_path.parent.mkdir(parents=True, exist_ok=True)
+        with tarfile.open(otb4_path, "w") as tar:
+            tar.add(xml_path, arcname="Tracks_000.xml")
+            tar.add(sig_path, arcname="Signal_000.sig")
+    finally:
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+    return otb4_path
+
+
 def _save_signal_to_csv(data: np.ndarray, time_axis: np.ndarray,
                         base_filename: str, output_dir: str,
                         channel_range: Tuple[int, int] | None = None,

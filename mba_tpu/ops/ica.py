@@ -94,8 +94,37 @@ def _extended_infomax(key, x_white, n_comp, block, max_iter,
     return final[1], final[7]  # W, n_iter
 
 
+@jax.jit
+def _mean_cov(x):
+    """Channel mean + covariance on device (x: (T, C) f32).
+
+    One MXU matmul replaces the host's O(T·C²) pass — at the
+    preprocessing hot-spot scale (64 ch × ≥20 min @ 2048 Hz,
+    reference preprocessing.py:654-682) the host pass alone costs
+    seconds on a 1-core machine.
+    """
+    mean = x.mean(axis=0)
+    xc = x - mean
+    cov = xc.T @ xc / x.shape[0]
+    return mean, cov
+
+
+@jax.jit
+def _project(x, mean, proj_t):
+    """(x - mean) @ proj_t.T on device."""
+    return (x - mean) @ proj_t.T
+
+
 class InfomaxICA:
-    """Extended-Infomax ICA with PCA whitening (MNE-equivalent role)."""
+    """Extended-Infomax ICA with PCA whitening (MNE-equivalent role).
+
+    All heavy linear algebra (covariance, whitening, source projection,
+    artifact reconstruction) runs on device; the host only does the
+    C×C eigendecomposition.  ``n_components`` is capped at the data's
+    numerical rank (relative eigenvalue threshold 1e-10): whitening a
+    null-space direction would amplify float noise into a fake
+    component — the effective count is exposed as ``n_components_``.
+    """
 
     def __init__(self, n_components: int, max_iter: int = 500,
                  random_state: int = 42, l_rate: float | None = None):
@@ -107,28 +136,39 @@ class InfomaxICA:
 
     def fit(self, data: np.ndarray) -> "InfomaxICA":
         """data: (n_samples, n_channels)."""
-        x = np.asarray(data, np.float64)
-        n_samples, n_ch = x.shape
-        n_comp = min(self.n_components, n_ch)
+        x_d = jnp.asarray(np.asarray(data), jnp.float32)
+        n_samples, n_ch = x_d.shape
 
-        self._mean = x.mean(axis=0)
-        xc = x - self._mean
-        # PCA whitening (host: one SVD of the channel covariance)
-        cov = xc.T @ xc / n_samples
+        mean_d, cov_d = _mean_cov(x_d)
+        cov = np.asarray(cov_d, np.float64)
+        self._mean = np.asarray(mean_d, np.float64)
         eigval, eigvec = np.linalg.eigh(cov)
-        order = np.argsort(eigval)[::-1][:n_comp]
-        eigval = np.maximum(eigval[order], 1e-12)
+        order = np.argsort(eigval)[::-1]
+        eigval = eigval[order]
         eigvec = eigvec[:, order]
+        # numerical-rank cap (rank-deficient recordings: bridged/flat
+        # channels, interpolated montages).  The covariance is an f32
+        # device matmul, so null-space eigenvalues land at ~n·eps_f32
+        # relative (measured ~2e-8 for rank-3 toy data); the standard
+        # n·eps threshold sits well above that noise floor and below
+        # any component resolvable in f32 at all.
+        tol = max(eigval[0], 0.0) * n_ch * np.finfo(np.float32).eps
+        rank = int((eigval > tol).sum())
+        n_comp = min(self.n_components, n_ch, max(rank, 1))
+        self.n_components_ = n_comp
+        eigval = np.maximum(eigval[:n_comp], 1e-12)
+        eigvec = eigvec[:, :n_comp]
         self._whitener = (eigvec / np.sqrt(eigval)).T      # (n_comp, C)
         self._dewhitener = (eigvec * np.sqrt(eigval))      # (C, n_comp)
-        x_white = (xc @ self._whitener.T).astype(np.float32)
+        x_white = _project(x_d, mean_d,
+                           jnp.asarray(self._whitener, jnp.float32))
 
         block = int(np.floor(np.sqrt(n_samples / 3.0)))
         block = max(8, min(block, n_samples))
         l_rate = self.l_rate or 0.01 / np.log(n_comp ** 2.0)
         w, n_iter = _extended_infomax(
             jax.random.PRNGKey(self.random_state),
-            jnp.asarray(x_white), n_comp, block, self.max_iter,
+            x_white, n_comp, block, self.max_iter,
             np.float32(l_rate))
         self._w = np.asarray(w, np.float64)                # (n_comp, n_comp)
         self.n_iter_ = int(n_iter)
@@ -139,8 +179,11 @@ class InfomaxICA:
         return self
 
     def get_sources(self, data: np.ndarray) -> np.ndarray:
-        """(n_samples, n_components) source estimates."""
-        return (np.asarray(data, np.float64) - self._mean) @ self.unmixing_.T
+        """(n_samples, n_components) source estimates (device matmul)."""
+        x_d = jnp.asarray(np.asarray(data), jnp.float32)
+        return np.asarray(_project(
+            x_d, jnp.asarray(self._mean, jnp.float32),
+            jnp.asarray(self.unmixing_, jnp.float32)), np.float64)
 
     def apply(self, data: np.ndarray,
               exclude: list[int] | None = None) -> np.ndarray:
@@ -154,8 +197,14 @@ class InfomaxICA:
         x = np.asarray(data, np.float64)
         if not len(exclude):
             return x.copy()
-        sources = self.get_sources(x)                      # (T, n_comp)
-        artifact = sources[:, exclude] @ self.mixing_[:, exclude].T
+        x_d = jnp.asarray(x, jnp.float32)
+        mean_d = jnp.asarray(self._mean, jnp.float32)
+        # artifact = sources[:, exclude] @ mixing[:, exclude].T, fused:
+        # (x - mean) @ (unmixing[exclude].T @ mixing[:, exclude].T)
+        proj = (self.unmixing_[exclude].T
+                @ self.mixing_[:, exclude].T)              # (C, C)
+        artifact = np.asarray(_project(
+            x_d, mean_d, jnp.asarray(proj.T, jnp.float32)), np.float64)
         return x - artifact
 
 

@@ -339,12 +339,21 @@ def msc_phase_randomized_null(
     fmask_np = _null_freq_mask(freqs, window_samples, band)
     fmask = jnp.asarray(fmask_np, jnp.float32)
 
+    # stage timers (VERDICT r2 #3): on tunneled links the upload can
+    # dominate and swing with link weather — keep it attributable
+    import time as _time
+    t_up0 = _time.perf_counter()
     eeg_j = jnp.asarray(eeg)
     emg_j = jnp.asarray(emg)
+    jax.block_until_ready((eeg_j, emg_j))
+    t_upload = _time.perf_counter() - t_up0
+    t_ob0 = _time.perf_counter()
     eeg_frames = frame_signal(eeg_j, starts_j, window_samples)
 
     observed = np.asarray(_observed_msc_jit(
         eeg_frames, emg_j, starts_j, tapers, inv_fs_n, window_samples))
+    t_observed = _time.perf_counter() - t_ob0
+    t_null0 = _time.perf_counter()
 
     key = jax.random.PRNGKey(seed)
     max_stats = []
@@ -411,11 +420,16 @@ def msc_phase_randomized_null(
             done += take
 
     max_stat = np.concatenate(max_stats)
+    t_null = _time.perf_counter() - t_null0
     observed_max = float(observed[fmask_np].max())
     p_fwe = float((1.0 + (max_stat >= observed_max).sum())
                   / (1.0 + len(max_stat)))
     result = {"max_stat": max_stat, "observed": observed, "freqs": freqs,
               "observed_max": observed_max, "p_fwe": p_fwe,
+              "timings": {"upload_sec": round(t_upload, 3),
+                          "observed_sec": round(t_observed, 3),
+                          "null_sec": round(t_null, 3),
+                          "upload_bytes": int(eeg.nbytes + emg.nbytes)},
               "null_quantiles": {}}
     if not max_stat_only:
         hist = hist.reshape((n_freqs, eeg.shape[1], emg.shape[1], n_bins))

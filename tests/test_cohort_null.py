@@ -293,6 +293,103 @@ class TestTransferDtype:
                    - np.quantile(b["max_stat"], 0.95)) < 0.03
 
 
+class TestPipelinedPrecompute:
+    """The per-subject overlapped precompute (quantize → async upload →
+    async coefficient dispatch) must agree with the fused single-program
+    path — both run ``_rotation_coeffs_body`` per subject."""
+
+    def _cohort(self, J=3, n=2048, nE=2, nM=3):
+        rng = np.random.default_rng(17)
+        shared = rng.standard_normal(n).astype(np.float32)
+        eeg = np.stack([0.4 * shared[:, None]
+                        + rng.standard_normal((n, nE)).astype(np.float32)
+                        for _ in range(J)])
+        emg = np.stack([0.4 * shared[:, None]
+                        + rng.standard_normal((n, nM)).astype(np.float32)
+                        for _ in range(J)])
+        return eeg, emg
+
+    def test_pipelined_equals_fused(self):
+        eeg, emg = self._cohort()
+        kw = dict(sampling_freq=FS, n_surrogates=64, surrogate_chunk=32,
+                  window_length_sec=0.5, band=(8.0, 40.0), seed=3,
+                  compute_dtype=jnp.float32)
+        a = cohort_msc_rotation_null(eeg, emg, overlap_upload=False, **kw)
+        b = cohort_msc_rotation_null(eeg, emg, overlap_upload=True, **kw)
+        np.testing.assert_allclose(a["observed"], b["observed"],
+                                   atol=1e-6)
+        np.testing.assert_allclose(a["max_stat"], b["max_stat"],
+                                   atol=1e-5)
+        np.testing.assert_array_equal(a["p_uncorrected"],
+                                      b["p_uncorrected"])
+        t = b["metadata"]["timings"]
+        assert "upload_coeffs_overlap_sec" in t and "upload_bytes" in t
+
+    def test_pipelined_with_int16_transfer(self):
+        eeg, emg = self._cohort()
+        kw = dict(sampling_freq=FS, n_surrogates=32, surrogate_chunk=32,
+                  window_length_sec=0.5, band=(8.0, 40.0), seed=4,
+                  compute_dtype=jnp.float32, transfer_dtype=np.int16)
+        a = cohort_msc_rotation_null(eeg, emg, overlap_upload=False, **kw)
+        b = cohort_msc_rotation_null(eeg, emg, overlap_upload=True, **kw)
+        np.testing.assert_allclose(a["observed"], b["observed"],
+                                   atol=1e-6)
+        np.testing.assert_allclose(a["max_stat"], b["max_stat"],
+                                   atol=1e-5)
+
+    def test_device_resident_input(self):
+        """Pre-placed ``jax.Array`` cohorts (any dtype) skip host prep
+        and give identical results to host-array input."""
+        from mba_tpu.native import quantize_int8_per_channel
+        eeg, emg = self._cohort()
+        kw = dict(sampling_freq=FS, n_surrogates=32, surrogate_chunk=32,
+                  window_length_sec=0.5, band=(8.0, 40.0), seed=6,
+                  compute_dtype=jnp.float32)
+        a = cohort_msc_rotation_null(eeg, emg, **kw)
+        b = cohort_msc_rotation_null(jnp.asarray(eeg), jnp.asarray(emg),
+                                     **kw)
+        np.testing.assert_allclose(a["observed"], b["observed"],
+                                   atol=1e-6)
+        np.testing.assert_allclose(a["max_stat"], b["max_stat"],
+                                   atol=1e-5)
+        # device int8 counts == host int8 passthrough (fused path, as
+        # the study-scale bench runs it)
+        eeg_i = jnp.asarray(np.stack([quantize_int8_per_channel(s)
+                                      for s in eeg]))
+        emg_i = jnp.asarray(np.stack([quantize_int8_per_channel(s)
+                                      for s in emg]))
+        c = cohort_msc_rotation_null(eeg_i, emg_i, overlap_upload=False,
+                                     **kw)
+        d = cohort_msc_rotation_null(np.asarray(eeg_i), np.asarray(emg_i),
+                                     transfer_dtype=np.int8,
+                                     overlap_upload=False, **kw)
+        np.testing.assert_allclose(c["observed"], d["observed"],
+                                   atol=1e-7)
+        np.testing.assert_allclose(c["max_stat"], d["max_stat"],
+                                   atol=1e-6)
+        # device path reports a (no-op) upload and measured coeffs
+        t = c["metadata"]["timings"]
+        assert "coeffs_sec" in t
+
+    def test_int16_adc_passthrough(self):
+        """int16 ADC counts + transfer_dtype=int16 upload verbatim and
+        give the same result as the internal quantizer on the floats
+        (per-channel scaling cancels in MSC)."""
+        from mba_tpu.native import quantize_int16_per_channel
+        eeg, emg = self._cohort()
+        eeg_i = np.stack([quantize_int16_per_channel(s) for s in eeg])
+        emg_i = np.stack([quantize_int16_per_channel(s) for s in emg])
+        kw = dict(sampling_freq=FS, n_surrogates=32, surrogate_chunk=32,
+                  window_length_sec=0.5, band=(8.0, 40.0), seed=5,
+                  compute_dtype=jnp.float32, transfer_dtype=np.int16)
+        a = cohort_msc_rotation_null(eeg, emg, **kw)
+        b = cohort_msc_rotation_null(eeg_i, emg_i, **kw)
+        np.testing.assert_allclose(a["observed"], b["observed"],
+                                   atol=1e-7)
+        np.testing.assert_allclose(a["max_stat"], b["max_stat"],
+                                   atol=1e-6)
+
+
 class TestValidation:
     def test_band_excludes_dc_and_nyquist(self):
         eeg, emg = _toy_subject(3)

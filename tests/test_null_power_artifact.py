@@ -1,0 +1,70 @@
+"""Bounds on the committed rotation-null operating characteristic
+(VERDICT r2 #5; artifact: BENCH_NULL_POWER.json, produced by
+tools/bench_null_power.py).
+
+The taper-rotation cohort null conditions on the observed
+window-to-window phase consistency (ops/cohort_null.py:48-55) and is
+documented as conservative under the alternative.  The committed sweep
+measures *how much* power that costs vs the classic full-FFT
+phase-randomisation engine; these tests pin the envelope so a future
+regression of either engine (or a change that silently widens the gap)
+fails CI.
+"""
+import json
+from pathlib import Path
+
+import pytest
+
+ARTIFACT = Path(__file__).resolve().parent.parent / "BENCH_NULL_POWER.json"
+
+
+@pytest.fixture(scope="module")
+def artifact():
+    if not ARTIFACT.exists():
+        pytest.skip("BENCH_NULL_POWER.json not generated")
+    return json.loads(ARTIFACT.read_text())
+
+
+def test_h0_calibration_both_engines(artifact):
+    """Under H0 both engines must reject at ≈ alpha (binomial noise at
+    the committed replicate count allows up to ~3x alpha)."""
+    alpha = artifact["config"]["alpha"]
+    assert artifact["h0_rejection_rates"], "no H0 cells in the grid"
+    for key, (rot, fft) in artifact["h0_rejection_rates"].items():
+        assert rot <= 3 * alpha + 0.02, (key, rot)
+        assert fft <= 3 * alpha + 0.02, (key, fft)
+
+
+def test_power_increases_with_coupling(artifact):
+    """Within each window count, rotation power is monotone (within
+    Monte-Carlo slack) in coupling and reaches 1 at the strongest."""
+    grid = artifact["grid"].values()
+    windows = sorted({g["windows"] for g in grid})
+    for w in windows:
+        cells = sorted((g["coupling"], g["power_rotation"])
+                       for g in grid if g["windows"] == w)
+        powers = [p for _, p in cells]
+        for a, b in zip(powers, powers[1:]):
+            assert b >= a - 0.15, (w, cells)   # MC slack
+        assert powers[-1] >= 0.95, (w, cells)
+
+
+def test_power_gap_within_documented_envelope(artifact):
+    """The measured conservativeness cost stays within the envelope
+    documented in ops/cohort_null.py.  Bound chosen from the committed
+    round-3 sweep (max gap observed there plus Monte-Carlo slack at
+    60 replicates, ±2σ ≈ 0.13)."""
+    assert artifact["max_power_gap_fullfft_minus_rotation"] <= 0.35
+    assert artifact["mean_power_gap"] <= 0.15
+
+
+def test_grid_covers_study_relevant_regimes(artifact):
+    """The sweep must include the regimes the docstring reasons about:
+    small-W (weak conditioning) through study-scale W, and couplings
+    from H0 to saturating."""
+    grid = list(artifact["grid"].values())
+    windows = {g["windows"] for g in grid}
+    couplings = {g["coupling"] for g in grid}
+    assert min(windows) <= 8 and max(windows) >= 128
+    assert 0.0 in couplings and max(couplings) >= 1.0
+    assert artifact["config"]["replicates"] >= 50

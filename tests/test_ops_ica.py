@@ -60,6 +60,85 @@ class TestInfomax:
         np.testing.assert_allclose(a.unmixing_, b.unmixing_, atol=1e-6)
 
 
+class TestConvergenceRobustness:
+    """VERDICT r2 #8: convergence beyond small clean mixtures —
+    ill-conditioned mixing, rank-deficient recordings, and the
+    annealing schedule actually engaging."""
+
+    def _recovery(self, x, true_sources, n_comp, **kw):
+        ica = InfomaxICA(n_components=n_comp, max_iter=500, **kw).fit(x)
+        est = ica.get_sources(x)
+        k = true_sources.shape[1]
+        corr = np.abs(np.corrcoef(true_sources.T, est.T)[:k, k:])
+        return ica, corr.max(axis=1), corr
+
+    def test_ill_conditioned_mixing(self):
+        """Mixing with condition number ~1e3 (near-collinear sensors)."""
+        x, true_sources = _mixed_sources(seconds=40, seed=3)
+        rng = np.random.default_rng(4)
+        u, _, vt = np.linalg.svd(rng.standard_normal((5, 3)),
+                                 full_matrices=False)
+        # cond 100: relative covariance eigenvalues 1, 2.5e-3, 1e-4 —
+        # well above the f32 rank threshold (n·eps ≈ 6e-7) yet badly
+        # conditioned for an unwhitened gradient
+        mixing = (u * np.array([1.0, 5e-2, 1e-2])) @ vt
+        x = true_sources @ mixing.T + 1e-5 * rng.standard_normal(
+            (len(true_sources), 5))
+        ica, best, corr = self._recovery(x, true_sources, 3)
+        assert (best > 0.85).all(), f"ill-conditioned recovery: {best}"
+        assert len(set(corr.argmax(axis=1))) == 3
+
+    def test_rank_deficient_data_caps_components(self):
+        """Asking for more components than the data's rank must not
+        whiten null-space noise into fake components."""
+        x, true_sources = _mixed_sources(seconds=20, seed=5)
+        rng = np.random.default_rng(6)
+        mixing = rng.standard_normal((8, 3))
+        x8 = true_sources @ mixing.T          # exactly rank-3, no noise
+        ica = InfomaxICA(n_components=6, max_iter=300).fit(x8)
+        assert ica.n_components_ == 3
+        assert ica.unmixing_.shape == (3, 8)
+        est = ica.get_sources(x8)
+        corr = np.abs(np.corrcoef(true_sources.T, est.T)[:3, 3:])
+        assert (corr.max(axis=1) > 0.9).all()
+        # apply() still round-trips at the capped size
+        np.testing.assert_allclose(ica.apply(x8, exclude=[]), x8)
+        assert ica.apply(x8, exclude=[0]).shape == x8.shape
+
+    def test_annealing_recovers_from_hot_learning_rate(self):
+        """A deliberately hot initial learning rate must anneal down
+        (blowup guard + angle-based schedule) and still converge."""
+        x, true_sources = _mixed_sources(seconds=40, seed=7)
+        ica, best, _ = self._recovery(x, true_sources, 3, l_rate=0.05)
+        assert np.isfinite(ica.unmixing_).all()
+        assert (best > 0.85).all(), f"hot-lrate recovery: {best}"
+
+    def test_many_components_larger_montage(self):
+        """16 sources / 24 channels — closer to the production shape
+        than the 3×5 toys; checks the scan/while program scales."""
+        fs, seconds = 128, 60
+        rng = np.random.default_rng(8)
+        n = fs * seconds
+        t = np.arange(n) / fs
+        k = 16
+        sources = []
+        for i in range(k):
+            if i % 2 == 0:
+                # iid ±1 (kurtosis −2, strongly sub-Gaussian); periodic
+                # squares would share harmonics and not be independent
+                sources.append(np.sign(rng.standard_normal(n)))
+            else:
+                sources.append(rng.laplace(size=n))  # super-Gaussian
+        sources = np.stack(sources, axis=1)
+        sources /= sources.std(axis=0)
+        mixing = rng.standard_normal((24, k))
+        x = sources @ mixing.T + 0.01 * rng.standard_normal((n, 24))
+        ica, best, _ = self._recovery(x, sources, k)
+        assert (best > 0.75).all(), \
+            f"large-montage recovery floor: {best.min():.3f}"
+        assert float(np.median(best)) > 0.9
+
+
 class TestLabeling:
     def test_muscle_and_noise_labels(self):
         fs, n_ch = 256, 6

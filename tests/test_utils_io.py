@@ -164,6 +164,35 @@ class TestOtb4:
         with pytest.raises(FileNotFoundError):
             read_otb4("/nonexistent.otb4")
 
+    def test_write_read_roundtrip_int16(self, tmp_path):
+        """write_otb4 ∘ read_otb4 must be the identity on ADC counts and
+        reproduce the mV conversion of the reader."""
+        from mba_tpu.io.otb4 import write_otb4
+        rng = np.random.default_rng(5)
+        counts = rng.integers(-30000, 30000, size=(6, 500),
+                              dtype=np.int16)
+        p = tmp_path / "written.otb4"
+        write_otb4(p, counts, 2048.0, gain=2.0, adc_nbits=16,
+                   adc_range=2.4)
+        parsed = read_otb4(p)
+        assert parsed["n_channels"] == 6
+        name, data, fs = parsed["signals"][0]
+        assert fs == 2048
+        expected = counts.astype(np.float32) * 2.4 / 2 ** 16 * 1000 / 2.0
+        np.testing.assert_allclose(data, expected, rtol=1e-6)
+
+    def test_write_roundtrip_float_mv(self, tmp_path):
+        """Float input is interpreted as mV and quantized to counts with
+        the inverse conversion; round-trip error ≤ half an ADC step."""
+        from mba_tpu.io.otb4 import write_otb4
+        rng = np.random.default_rng(6)
+        mv = (rng.standard_normal((4, 300)) * 5.0).astype(np.float64)
+        p = tmp_path / "float.otb4"
+        write_otb4(p, mv, 1000.0, gain=1.0, adc_nbits=16, adc_range=2.4)
+        _, data, _ = read_otb4(p)["signals"][0]
+        step = 2.4 / 2 ** 16 * 1000
+        assert np.abs(data - mv).max() <= step / 2 + 1e-9
+
 
 class TestProfiling:
     def test_stage_timer_and_save(self, tmp_path):

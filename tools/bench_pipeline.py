@@ -1,0 +1,398 @@
+"""End-to-end five-stage pipeline benchmark at study scale (VERDICT r2 #2).
+
+The reference is a *pipeline* (reference src/README.md:95-126):
+otb4 import → preprocessing → feature extraction → statistics frame →
+omnibus + CBPA + report — and its #1 preprocessing hot spot is the ICA
+fit ("n_components × 20-30 s of data", reference pipeline/
+preprocessing.py:654-682).  This tool drives the repo's REAL pipeline
+modules on one synthetic subject at the study's true per-subject scale
+(30 × 45-s trials + 12-s silences @ 2048 Hz — ≈22.5 min of task signal
+inside a ≈28-min recording; statistics_data_preparation_workflow.py:24,
+126), then the cohort-level statistics stages at 12-subject scale, and
+records per-stage wall clock against reference-style numpy/scipy
+denominators for the array stages.
+
+Writes ``BENCH_PIPELINE.json`` next to the repo root; ``bench.py``
+embeds it in the driver JSON extras.  Run time ≈ 10-20 min (dominated
+by host generation + the tunneled upload); rerun any time:
+
+    python tools/bench_pipeline.py
+"""
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+FS = 2048.0
+N_TRIALS = 30
+TRIAL_SEC = 45.0
+SILENCE_SEC = 12.0
+N_EEG = 64
+N_EMG = 64
+N_ICA = 25
+WINDOW_SEC = 2.0
+PSD_WINDOW_SEC = 1.0
+BETA = (13.0, 30.0)
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+# ── stage 0: synthesis ────────────────────────────────────────────────
+def synth_subject(seed=0):
+    """EEG with planted blink/ECG/line/muscle artifacts + beta drive
+    during trials; two EMG montages sharing the drive."""
+    rng = np.random.default_rng(seed)
+    rec_sec = N_TRIALS * (TRIAL_SEC + SILENCE_SEC) - SILENCE_SEC
+    n = int(FS * rec_sec)
+    t = np.arange(n) / FS
+
+    # beta-band shared drive, gated to trials
+    white = rng.standard_normal(n)
+    spec = np.fft.rfft(white)
+    f = np.fft.rfftfreq(n, 1 / FS)
+    spec[(f < 16) | (f > 28)] = 0
+    drive = np.fft.irfft(spec, n=n).astype(np.float32)
+    drive /= drive.std() + 1e-12
+    gate = np.zeros(n, np.float32)
+    trial_spans = []
+    for i in range(N_TRIALS):
+        i0 = int(i * (TRIAL_SEC + SILENCE_SEC) * FS)
+        i1 = i0 + int(TRIAL_SEC * FS)
+        gate[i0:i1] = 1.0
+        trial_spans.append((i0 / FS, i1 / FS))
+    drive *= gate
+
+    # artifacts
+    blink = np.zeros(n, np.float32)
+    for onset in rng.integers(0, n - int(FS), 150):
+        w = int(0.3 * FS)
+        blink[onset:onset + w] += np.hanning(w)[:len(blink[onset:onset + w])]
+    ecg = np.zeros(n, np.float32)
+    for beat in np.arange(0, n, int(0.85 * FS)):
+        w = int(0.05 * FS)
+        ecg[beat:beat + w] += np.hanning(w)[:len(ecg[beat:beat + w])] * 3
+    line = np.sin(2 * np.pi * 50.0 * t).astype(np.float32)
+
+    eeg = rng.standard_normal((n, N_EEG)).astype(np.float32) * 0.01
+    eeg += 0.004 * drive[:, None] * rng.uniform(0.3, 1.0, N_EEG)[None, :]
+    front = np.zeros(N_EEG, np.float32)
+    front[:4] = [0.05, 0.05, 0.03, 0.03]            # Fp1/Fpz/Fp2/AF7 zone
+    eeg += blink[:, None] * front[None, :]
+    eeg += ecg[:, None] * rng.uniform(0.001, 0.004, N_EEG)[None, :]
+    eeg += 0.002 * line[:, None] * rng.uniform(0.5, 1.5, N_EEG)[None, :]
+
+    def emg_like(gain):
+        x = rng.standard_normal((n, N_EMG)).astype(np.float32) * 0.05
+        x += gain * drive[:, None] * rng.uniform(0.3, 1.0, N_EMG)[None, :]
+        x += 0.01 * line[:, None]
+        return x
+
+    return eeg, emg_like(0.03), emg_like(0.008), trial_spans, rec_sec
+
+
+# ── CPU denominators (reference-style numpy/scipy) ────────────────────
+def cpu_filter_denominator(x_slice, fs):
+    """MNE-style FIR (firwin + zero-phase fftconvolve), timed on a slice
+    and extrapolated linearly in samples."""
+    import scipy.signal
+
+    taps_bp = scipy.signal.firwin(8193, [1.0, 100.0], fs=fs,
+                                  pass_zero=False, window="hamming")
+    t0 = time.perf_counter()
+    y = scipy.signal.fftconvolve(x_slice, taps_bp[:, None], mode="same",
+                                 axes=0)
+    for f0 in (50.0, 100.0, 150.0, 200.0):
+        b, a = scipy.signal.iirnotch(f0, 30.0, fs=fs)
+        y = scipy.signal.filtfilt(b, a, y, axis=0)
+    return time.perf_counter() - t0
+
+
+def cpu_ica_epoch_denominator(x_white, block, n_comp, rng):
+    """One numpy epoch of the identical extended-infomax batch loop."""
+    n = x_white.shape[0]
+    n_blocks = n // block
+    w = np.eye(n_comp, dtype=np.float32)
+    signs = np.ones(n_comp, np.float32)
+    lrate = np.float32(1e-3)
+    eye = np.eye(n_comp, dtype=np.float32)
+    perm = rng.permutation(n)[:n_blocks * block]
+    data = x_white[perm].reshape(n_blocks, block, n_comp)
+    t0 = time.perf_counter()
+    for xb in data:
+        u = xb @ w
+        y = np.tanh(u)
+        w = w + lrate * (w @ (block * eye - signs[None, :] * (u.T @ y)
+                              - u.T @ u))
+    return time.perf_counter() - t0
+
+
+def main():
+    import jax
+    from mba_tpu.io.otb4 import write_otb4, read_otb4
+    from mba_tpu.pipeline.preprocessing import BiosignalPreprocessor
+    from mba_tpu.pipeline import signal_features as features
+    from mba_tpu.pipeline.cbpa import CMC_EEG_CHANNEL_SUBSET
+
+    stages = {}
+    denominators = {}
+    platform = jax.devices()[0].platform
+
+    log("[synth] generating subject at study scale …")
+    t0 = time.perf_counter()
+    eeg, emg1, emg2, trial_spans, rec_sec = synth_subject()
+    stages["synthesis_sec_host"] = round(time.perf_counter() - t0, 2)
+    n = eeg.shape[0]
+    log(f"[synth] {rec_sec/60:.1f} min recording, "
+        f"{N_TRIALS * TRIAL_SEC/60:.1f} min task signal "
+        f"({stages['synthesis_sec_host']}s)")
+
+    work = Path(tempfile.mkdtemp(prefix="bench_pipeline_"))
+    try:
+        # ── stage 1: OTB4 import (the real archive reader) ────────────
+        p1 = work / "emg_flexor.otb4"
+        p2 = work / "emg_extensor.otb4"
+        write_otb4(p1, emg1.T, FS)          # ADC-quantized int16 archive
+        write_otb4(p2, emg2.T, FS)
+        t0 = time.perf_counter()
+        emg1_mv = read_otb4(p1)["signals"][0][1].T   # (n, C) mV
+        emg2_mv = read_otb4(p2)["signals"][0][1].T
+        stages["s1_otb4_import_sec"] = round(time.perf_counter() - t0, 2)
+        log(f"[s1] otb4 import 2×{N_EMG}ch×{rec_sec/60:.0f}min: "
+            f"{stages['s1_otb4_import_sec']}s")
+
+        # ── stage 2: preprocessing (full cascade incl. ICA) ───────────
+        prep = BiosignalPreprocessor(
+            eeg, int(FS), "eeg", n_ica_components=N_ICA,
+            automatic_ic_labelling=True, wavelet_type=None)
+        t0 = time.perf_counter()
+        prep.np_filtered_data
+        t_filter = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        prep.np_amplitude_compliant_data
+        t_refamp = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        ica = prep.ica_result
+        t_ica = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        prep.np_artefact_free_data
+        t_ica_apply = time.perf_counter() - t0
+        n_excluded = len(ica.exclude)
+        t0 = time.perf_counter()
+        eeg_clean = prep.np_output_data
+        t_spatial = time.perf_counter() - t0
+        stages["s2_eeg_filter_sec"] = round(t_filter, 2)
+        stages["s2_eeg_reference_amplitude_sec"] = round(t_refamp, 2)
+        stages["s2_eeg_ica_fit_sec"] = round(t_ica, 2)
+        stages["s2_eeg_ica_label_apply_sec"] = round(t_ica_apply, 2)
+        stages["s2_eeg_spatial_sec"] = round(t_spatial, 2)
+        stages["s2_eeg_ica_n_iter"] = int(ica.n_iter_)
+        stages["s2_eeg_ica_n_excluded"] = int(n_excluded)
+        log(f"[s2] EEG cascade: filter {t_filter:.1f}s, ref+amp "
+            f"{t_refamp:.1f}s, ICA fit {t_ica:.1f}s "
+            f"({ica.n_iter_} iters, {n_excluded} ICs excluded), "
+            f"apply {t_ica_apply:.1f}s, spatial {t_spatial:.1f}s")
+
+        t0 = time.perf_counter()
+        emg1_clean = BiosignalPreprocessor(
+            emg1_mv, int(FS), "emg", n_ica_components=None,
+            automatic_ic_labelling=False, wavelet_type=None,
+            laplacian_filter_neighbor_radius=None).np_output_data
+        emg2_clean = BiosignalPreprocessor(
+            emg2_mv, int(FS), "emg", n_ica_components=None,
+            automatic_ic_labelling=False, wavelet_type=None,
+            laplacian_filter_neighbor_radius=None).np_output_data
+        stages["s2_emg_cascade_sec"] = round(time.perf_counter() - t0, 2)
+        log(f"[s2] EMG cascades: {stages['s2_emg_cascade_sec']}s")
+        del emg1, emg2, emg1_mv, emg2_mv
+
+        # CPU denominators for stage 2
+        slice_n = int(30 * FS)
+        d = cpu_filter_denominator(eeg[:slice_n], FS)
+        denominators["s2_filter_cpu_sec_extrapolated"] = round(
+            d * (n / slice_n) * 3, 1)     # 3 arrays (EEG + 2 EMG)
+        x_white = ica.get_sources(eeg[:int(60 * FS)])[:, :N_ICA].astype(
+            np.float32)
+        block = max(8, int(np.sqrt(n / 3.0)))
+        epoch_slice = cpu_ica_epoch_denominator(
+            x_white, block, N_ICA, np.random.default_rng(0))
+        # one numpy epoch over the full recording, × the iterations the
+        # TPU fit actually needed
+        epoch_full = epoch_slice * (n // block) / max(
+            len(x_white) // block, 1)
+        denominators["s2_ica_cpu_sec_extrapolated"] = round(
+            epoch_full * max(ica.n_iter_, 1), 1)
+        log(f"[s2] CPU denominators: filters "
+            f"{denominators['s2_filter_cpu_sec_extrapolated']}s, ICA "
+            f"{denominators['s2_ica_cpu_sec_extrapolated']}s")
+        del eeg
+
+        # ── stage 3: feature extraction ───────────────────────────────
+        feat_dir = work / "features"
+        feat_dir.mkdir()
+        t0 = time.perf_counter()
+        for modality, arr in (("eeg", eeg_clean),
+                              ("emg_1_flexor", emg1_clean),
+                              ("emg_2_extensor", emg2_clean)):
+            features.multitaper_psd(
+                arr, FS, nw=3, window_length_sec=PSD_WINDOW_SEC,
+                overlap_frac=0.5, axis=0, apply_log_scale=True,
+                psd_save_dir=feat_dir, psd_file_suffix=modality)
+        t_psd = time.perf_counter() - t0
+        stages["s3_psd_sec"] = round(t_psd, 2)
+
+        ws = int(WINDOW_SEC * FS)
+        hop = ws // 2
+        n_windows = (n - ws) // hop + 1
+        centers = (np.arange(n_windows) * hop + ws / 2) / FS
+        window_mask = np.zeros(n_windows, bool)
+        for ts, te in trial_spans:
+            window_mask |= (centers >= ts + WINDOW_SEC / 2) \
+                & (centers <= te - WINDOW_SEC / 2)
+        t0 = time.perf_counter()
+        cmc_results = {}
+        for muscle, arr in (("flexor", emg1_clean),
+                            ("extensor", emg2_clean)):
+            cmc_results[muscle] = features.compute_task_wise_aggregated_cmc(
+                eeg_clean, arr, int(FS), muscle_group=muscle,
+                eeg_channel_subset=CMC_EEG_CHANNEL_SUBSET,
+                window_size_sec=WINDOW_SEC, window_overlap_ratio=0.5,
+                use_jackknife=True, save_dir=feat_dir,
+                window_mask=window_mask)
+        t_cmc = time.perf_counter() - t0
+        stages["s3_cmc_sec"] = round(t_cmc, 2)
+        n_active = int(window_mask.sum())
+        pinned = {}
+        pp = REPO / "BENCH_CPU_PINNED.json"
+        if pp.exists():
+            pinned = json.loads(pp.read_text())
+        cpu_rate = pinned.get("cmc_spectra_per_sec_cpu", 958.0)
+        denominators["s3_cmc_cpu_sec_pinned_rate"] = round(
+            n_active * len(CMC_EEG_CHANNEL_SUBSET) * N_EMG * 2 / cpu_rate,
+            1)
+        log(f"[s3] PSD {t_psd:.1f}s; task CMC ({n_active} task windows, "
+            f"{len(CMC_EEG_CHANNEL_SUBSET)}×{N_EMG}×2 muscles) "
+            f"{t_cmc:.1f}s (CPU-pinned equivalent "
+            f"{denominators['s3_cmc_cpu_sec_pinned_rate']}s)")
+        del eeg_clean, emg1_clean, emg2_clean
+
+        # ── stage 4: statistics frame at cohort scale ─────────────────
+        import pandas as pd
+        t0 = time.perf_counter()
+        coh, lo_ci, up_ci, tc, fr = cmc_results["flexor"]
+        beta_sel = (fr >= BETA[0]) & (fr <= BETA[1])
+        rows = []
+        rng = np.random.default_rng(1)
+        for subj in range(12):
+            jitter = rng.normal(0, 0.01, size=N_TRIALS)
+            for i, (ts, te) in enumerate(trial_spans):
+                sel = (tc >= ts) & (tc <= te)
+                if not sel.any():
+                    continue
+                cmc_beta = float(coh[np.ix_(sel, beta_sel)].max())
+                rows.append({
+                    "Subject ID": subj,
+                    "Trial ID": i,
+                    "Segment ID": 0,
+                    "Category or Silence":
+                        ["Happy", "Sad", "Silence"][i % 3],
+                    "CMC_Flexor_max_beta":
+                        np.clip(cmc_beta + jitter[i], 0, 1),
+                    "Liking": rng.integers(1, 8),
+                })
+        combined = pd.DataFrame(rows)
+        ts_name = time.strftime("%Y-%m-%d %H-%M-%S")
+        combined.to_csv(
+            feat_dir / f"Combined Statistics 1seg - {ts_name}.csv",
+            index=False)
+        stages["s4_stats_frame_sec"] = round(time.perf_counter() - t0, 2)
+        log(f"[s4] combined frame ({len(combined)} rows): "
+            f"{stages['s4_stats_frame_sec']}s")
+
+        # ── stage 5: omnibus + CBPA + report ──────────────────────────
+        from mba_tpu.workflows.statistics_RQ_A_omnibus_testing_workflow \
+            import run_omnibus
+        from mba_tpu.workflows.statistics_report_workflow import \
+            build_report
+        from mba_tpu.ops.permutation import (
+            cluster_permutation_1samp_test, delaunay_channel_adjacency,
+            combine_adjacency)
+
+        def levels(multi):
+            return [{
+                'df_filter': None,
+                'condition_vars': {'Category or Silence': 'categorical'},
+                'reference_categories': {'Category or Silence': 'Silence'},
+                'explanatory_vars': [], 'moderation_pairs': None}]
+
+        out_dir = work / "stats_out"
+        t0 = time.perf_counter()
+        run_omnibus(feat_dir, out_dir, n_within_trial_segments_list=[1],
+                    hypotheses=[('H1: Flexor Beta Peak CMC',
+                                 'CMC_Flexor_max_beta')],
+                    level_definitions_factory=levels, fdr_levels=[],
+                    make_forest_mosaics=False)
+        t_omni = time.perf_counter() - t0
+        stages["s5_omnibus_sec"] = round(t_omni, 2)
+
+        # CBPA: cohort contrast over (subjects, windows-in-beta, channels)
+        t0 = time.perf_counter()
+        n_t = 40
+        ch = CMC_EEG_CHANNEL_SUBSET
+        X = (0.2 + rng.standard_normal((12, n_t, len(ch)))
+             ).astype(np.float32)
+        adj = combine_adjacency(n_t, delaunay_channel_adjacency(ch))
+        cbpa_res = cluster_permutation_1samp_test(
+            X, adj, n_permutations=1024, tail=1,
+            permutation_chunk=1024)
+        t_cbpa = time.perf_counter() - t0
+        stages["s5_cbpa_sec"] = round(t_cbpa, 2)
+
+        t0 = time.perf_counter()
+        report = build_report(out_dir, out_dir, work / "reports",
+                              "pipeline_bench")
+        t_report = time.perf_counter() - t0
+        stages["s5_report_sec"] = round(t_report, 2)
+        assert report.exists()
+        log(f"[s5] omnibus {t_omni:.1f}s, CBPA {t_cbpa:.1f}s, report "
+            f"{t_report:.1f}s")
+
+        total = sum(v for k, v in stages.items()
+                    if k.endswith("_sec") and not k.startswith("synth"))
+        stages["total_pipeline_sec"] = round(total, 2)
+        result = {
+            "description": "five-stage end-to-end pipeline at study "
+                           "scale (1 subject heavy stages, 12-subject "
+                           "statistics stages)",
+            "platform": platform,
+            "recording_min": round(rec_sec / 60, 1),
+            "task_signal_min": round(N_TRIALS * TRIAL_SEC / 60, 1),
+            "n_eeg": N_EEG, "n_emg": N_EMG, "n_ica_components": N_ICA,
+            "stages": stages,
+            "cpu_denominators": denominators,
+            "ica_speedup_vs_cpu": round(
+                denominators["s2_ica_cpu_sec_extrapolated"]
+                / max(stages["s2_eeg_ica_fit_sec"], 1e-9), 1),
+            "measured_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                          time.gmtime()),
+        }
+        out_path = REPO / "BENCH_PIPELINE.json"
+        out_path.write_text(json.dumps(result, indent=2) + "\n")
+        log(f"[done] total pipeline {total:.1f}s → {out_path}")
+        print(json.dumps(result))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
