@@ -41,6 +41,26 @@ def dynamometer_volt_to_force(volts: float, offset: float = 0.0,
     return force_kg
 
 
+def mvc_live_force_mapping(v, _shared_dc_offset=None):
+    """Module-level picklable force mapping for MVC calibration (no MVC
+    value yet).  Parity: reference experiment_workflow.py:31-35 — the DC
+    offset arrives as a ``multiprocessing`` shared value at runtime (a
+    plain float or None also works)."""
+    offset = (_shared_dc_offset.value
+              if hasattr(_shared_dc_offset, "value")
+              else float(_shared_dc_offset or 0.0))
+    return dynamometer_volt_to_force(v, offset=offset, mvc_kg=None)
+
+
+def live_force_mapping_factory(v, _mvc_kg=None, _shared_dc_offset=None):
+    """Picklable %MVC force mapping for regular sampling (reference
+    experiment_workflow.py:37-41)."""
+    offset = (_shared_dc_offset.value
+              if hasattr(_shared_dc_offset, "value")
+              else float(_shared_dc_offset or 0.0))
+    return dynamometer_volt_to_force(v, offset=offset, mvc_kg=_mvc_kg)
+
+
 def probe_serial_device(pattern: str = "/dev/ttyACM*") -> str | None:
     """Return the first matching serial device path, or None.
 

@@ -180,6 +180,25 @@ def offboarding_form(interactive: bool = False,
     ]).run(interactive, prefill)
 
 
+def legacy_plot_onboarding_form(result_json_dir=None,
+                                shared_questionnaire_str=None,
+                                interactive: bool = False,
+                                prefill: dict | None = None,
+                                **_legacy_kwargs) -> dict:
+    """Back-compat alias for the reference's legacy onboarding entry
+    point (measurements_and_interactive_visuals.py:1020-1117).
+
+    Documented deviation: the reference's legacy variant hard-codes the
+    one study's health-screening question strings and writes the result
+    JSON itself; here those strings are presentation data, the modern
+    :func:`onboarding_form` collects the same subject fields, and the
+    caller persists the dict (the experiment workflow already does).
+    Extra legacy keyword arguments are accepted and ignored.
+    """
+    del result_json_dir, shared_questionnaire_str, _legacy_kwargs
+    return onboarding_form(interactive=interactive, prefill=prefill)
+
+
 def familiarity_form(song_info: str, interactive: bool = False,
                      prefill: dict | None = None) -> dict:
     """Familiarity check for the song now playing (reference :1274-1335)."""

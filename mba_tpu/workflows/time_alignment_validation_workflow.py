@@ -88,6 +88,86 @@ def emg_power_ratio(flexor: np.ndarray, extensor: np.ndarray,
     return band_power(flexor) / max(band_power(extensor), 1e-20)
 
 
+def load_emg_psd_both_muscles(
+        subject_ind: int,
+        feature_data_dir: Path,
+        experiment_data_dir: Path,
+        emg_frequency_band: tuple[float, float] = (30, 250),
+        psd_time_window_size_sec: float = .25,
+) -> dict:
+    """Load precomputed EMG PSD band power for flexor + extensor.
+
+    Parity: reference time_alignment_validation_workflow.py:342-454 —
+    same artifact lookup keywords ("PSD Spectrograms"/"Timecenters"/
+    "Frequencies" + ``emg_1_flexor``/``emg_2_extensor``), the same
+    half-window-inset absolute time index stretched over the QTC
+    measurement span (explicit sampling-drift handling), band-mean
+    power over (freqs, channels), and the same force-column search
+    order.  Returns ``{'force_series': …, 'flexor': (power, times) |
+    None, 'extensor': …}``.
+    """
+    from mba_tpu.utils import file_management as filemgmt
+
+    subject_feature_dir = Path(feature_data_dir) \
+        / f"subject_{subject_ind:02}"
+    subject_experiment_dir = Path(experiment_data_dir) \
+        / f"subject_{subject_ind:02}"
+
+    log_frame = di.fetch_enriched_log_frame(
+        subject_experiment_dir, set_time_index=True, verbose=False)
+    qtc_start, qtc_end = di.get_qtc_measurement_start_end(
+        log_frame, verbose=False)
+    serial_frame = di.fetch_enriched_serial_frame(
+        subject_experiment_dir, set_time_index=True)
+    if serial_frame.index.tz is not None:
+        if qtc_start.tz is None:
+            qtc_start = qtc_start.tz_localize(serial_frame.index.tz)
+        if qtc_end.tz is None:
+            qtc_end = qtc_end.tz_localize(serial_frame.index.tz)
+
+    force_col = None
+    for name in ('fsr', 'Force [N]', 'Force', 'force',
+                 'Force Level [N]', 'Raw Force [N]'):
+        if name in serial_frame.columns:
+            force_col = name
+            break
+    if force_col is None:
+        candidates = [c for c in serial_frame.columns
+                      if 'force' in c.lower() or 'fsr' in c.lower()]
+        if not candidates:
+            raise ValueError(
+                f"No force column found in serial frame. Available "
+                f"columns: {serial_frame.columns.tolist()}")
+        force_col = candidates[0]
+    results = {'force_series': serial_frame[force_col]}
+
+    for muscle_name, muscle_id in (('flexor', 'emg_1_flexor'),
+                                   ('extensor', 'emg_2_extensor')):
+        try:
+            emg_psd = np.load(filemgmt.most_recent_file(
+                subject_feature_dir, ".npy",
+                ["PSD Spectrograms", muscle_id]))
+            psd_times_sec = np.load(filemgmt.most_recent_file(
+                subject_feature_dir, ".npy",
+                ["PSD Timecenters", muscle_id]))
+            psd_freqs = np.load(filemgmt.most_recent_file(
+                subject_feature_dir, ".npy",
+                ["PSD Frequencies", muscle_id]))
+            half = pd.Timedelta(seconds=psd_time_window_size_sec / 2)
+            psd_times = data_analysis.add_time_index(
+                start_timestamp=qtc_start + half,
+                end_timestamp=qtc_end - half,
+                n_timesteps=len(psd_times_sec))
+            fmask = ((psd_freqs >= emg_frequency_band[0])
+                     & (psd_freqs <= emg_frequency_band[1]))
+            power = np.mean(emg_psd[:, fmask, :], axis=(1, 2))
+            results[muscle_name] = (power, psd_times)
+        except (FileNotFoundError, ValueError) as e:
+            print(f"Could not load {muscle_name}: {e}")
+            results[muscle_name] = None
+    return results
+
+
 def cohort_sampling_rate_sweep(subject_ids, experiment_data_dir,
                                feature_data_dir,
                                nominal_fs: float = 2048.0

@@ -351,3 +351,25 @@ class TestFullStudy:
         produced = list(het_out.glob("*.csv")) + list(
             het_out.glob("*.png"))
         assert produced, "heterogeneity produced no artifacts"
+
+
+class TestEmgPsdLoader:
+    def test_load_emg_psd_both_muscles(self, study):
+        """Parity loader (reference time_alignment_validation_workflow
+        .py:342-454): artifact keyword lookup, QTC-stretched absolute
+        time index, band-mean power, force-column search."""
+        from mba_tpu.workflows.time_alignment_validation_workflow import (
+            load_emg_psd_both_muscles)
+        res = load_emg_psd_both_muscles(
+            0, study["feat_data"], study["exp_data"],
+            emg_frequency_band=(10, 60),
+            psd_time_window_size_sec=0.25)
+        assert set(res) == {"force_series", "flexor", "extensor"}
+        assert res["force_series"].notna().any()
+        for muscle in ("flexor", "extensor"):
+            power, times = res[muscle]
+            assert power.ndim == 1 and len(power) == len(times)
+            assert np.isfinite(power).all()
+            assert isinstance(times, pd.DatetimeIndex)
+        # flexor carries the planted drive; extensor is quieter overall
+        assert res["flexor"][0].mean() != res["extensor"][0].mean()

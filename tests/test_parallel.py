@@ -116,6 +116,88 @@ class TestCohortProductionOrchestrator:
         assert np.all(res["cohort_mean"] == 0)
 
 
+class TestCompactOutput:
+    """VERDICT r2 #6: masked-compact streaming instead of the dense
+    (J, W, …) host materialization."""
+
+    def _masked_setup(self, n_subjects=3, seconds=6.0):
+        eeg, emg = _cohort_signals(n_subjects=n_subjects, seconds=seconds)
+        W = int((eeg.shape[1] - FS) // (FS / 2) + 1)
+        rng = np.random.default_rng(2)
+        masks = rng.random((n_subjects, W)) < 0.3
+        masks[0, :2] = True                     # ensure some activity
+        return eeg, emg, masks
+
+    def test_compact_matches_full_on_active_windows(self):
+        mesh = make_mesh(8)
+        eeg, emg, masks = self._masked_setup()
+        kw = dict(nw=3, window_length_sec=1.0, window_masks=masks,
+                  use_jackknife=True)
+        full = cohort_multitaper_msc(mesh, eeg, emg, FS, **kw)
+        comp = cohort_multitaper_msc(mesh, eeg, emg, FS,
+                                     output="compact", **kw)
+        for j, sub in enumerate(comp["subjects"]):
+            act = sub["active_windows"]
+            np.testing.assert_array_equal(act, np.nonzero(masks[j])[0])
+            np.testing.assert_allclose(
+                sub["coherence"], full["coherence_raw"][j][act],
+                rtol=1e-6, atol=1e-7)
+            np.testing.assert_allclose(
+                sub["ci_upper"], full["coherence_ci_upper"][j][act],
+                rtol=1e-6, atol=1e-7)
+        np.testing.assert_allclose(comp["cohort_mean"],
+                                   full["cohort_mean"],
+                                   rtol=1e-6, atol=1e-7)
+        assert comp["metadata"]["output"] == "compact"
+
+    def test_artifact_streaming(self, tmp_path):
+        mesh = make_mesh(8)
+        eeg, emg, masks = self._masked_setup()
+        comp = cohort_multitaper_msc(
+            mesh, eeg, emg, FS, nw=3, window_length_sec=1.0,
+            window_masks=masks, use_jackknife=True, output="compact",
+            artifact_dir=tmp_path)
+        ref = cohort_multitaper_msc(
+            mesh, eeg, emg, FS, nw=3, window_length_sec=1.0,
+            window_masks=masks, use_jackknife=True, output="compact")
+        for j, sub in enumerate(comp["subjects"]):
+            assert "path" in sub and sub["path"].endswith(".npz")
+            loaded = np.load(sub["path"])
+            np.testing.assert_allclose(loaded["coherence"],
+                                       ref["subjects"][j]["coherence"],
+                                       rtol=1e-7)
+            np.testing.assert_array_equal(loaded["active_windows"],
+                                          sub["active_windows"])
+            assert "freqs" in loaded and "time_centers" in loaded
+
+    def test_compact_bounds_host_memory(self):
+        """Sparse task mask on a longer grid: the compact path must
+        allocate an order of magnitude less host memory than the dense
+        one would (the dense (J, W, …) tensors never exist)."""
+        import tracemalloc
+        mesh = make_mesh(8)
+        n_subjects, seconds = 4, 120.0
+        eeg, emg = _cohort_signals(n_subjects=n_subjects,
+                                   seconds=seconds, n_eeg=4, n_emg=4)
+        W = int((eeg.shape[1] - int(FS * 0.5)) // (FS / 4) + 1)
+        masks = np.zeros((n_subjects, W), bool)
+        masks[:, ::25] = True                     # 4 % active
+        kw = dict(nw=3, window_length_sec=0.5, overlap_frac=0.5,
+                  window_masks=masks, use_jackknife=True)
+        # dense footprint the full mode would allocate on host:
+        n_freqs = int(0.5 * FS) // 2 + 1
+        dense_bytes = 3 * n_subjects * W * n_freqs * 4 * 4 * 4
+        # warm (compiles + jax internals outside the measurement)
+        cohort_multitaper_msc(mesh, eeg, emg, FS, output="compact", **kw)
+        tracemalloc.start()
+        cohort_multitaper_msc(mesh, eeg, emg, FS, output="compact", **kw)
+        _, peak = tracemalloc.get_traced_memory()
+        tracemalloc.stop()
+        # cohort_mean (W, F, 4, 4) is the irreducible dense piece; the
+        # compact path must stay well under the 3-key dense cohort
+        assert peak < dense_bytes / 3, (peak, dense_bytes)
+
+
 class TestTimeSharded:
     """Halo-exchange time sharding == unsharded, window for window."""
 

@@ -215,3 +215,51 @@ class TestConfigRoundtrip:
         # Quattrocento order: Fp1 = index 0, Fpz = 1, Fp2 = 2
         assert (loaded[:, 0] == 0).all() and (loaded[:, 2] == 0).all()
         assert not (loaded[:, 1] == 0).all()
+
+
+class TestAnnotateAmplitudeReferenceDefaults:
+    """Pin the reference-default semantics (VERDICT r2 #9): peak 3 mV,
+    min_duration 25 ms, bad_percent 5 (reference preprocessing.py:
+    960-999) on a hand-computable fixture."""
+
+    def _build(self):
+        fs = 1000
+        n = 10 * fs
+        x = np.zeros((n, 4), np.float64)
+        rng = np.random.default_rng(0)
+        x += 1e-4 * rng.standard_normal((n, 4))   # 0.1 mV noise floor
+        # ch1: ONE 50-ms ±2 mV burst → flagged segment, but only ~0.75 %
+        # of samples → channel stays good
+        t = np.arange(50)
+        x[1000:1050, 1] += 2e-3 * np.sign(np.sin(2 * np.pi * t / 10))
+        # ch2: bursts covering ~8 % of the recording → channel bad
+        for s in range(0, n, 1000):
+            x[s:s + 80, 2] += 2e-3 * np.sign(np.sin(
+                2 * np.pi * np.arange(80) / 10))
+        # ch3: huge DC offset but tiny peak-to-peak → must NOT flag
+        # (the criterion is ptp, not absolute amplitude)
+        x[:, 3] += 0.5
+        return BiosignalPreprocessor(
+            x, fs, 'eeg', n_ica_components=None, wavelet_type=None,
+            reference_channels=None,
+            amplitude_rejection_threshold=3e-3)  # reference .003
+
+    def test_channel_and_segment_semantics(self):
+        p = self._build()
+        bad = p._annotate_amplitude_based_artefacts(
+            min_duration=.025, max_bad_segments_percent=5.0)
+        assert bad == [2]
+        _ = p.np_amplitude_compliant_data
+        assert p.bad_channels == [p.channel_names[2]]
+        # the ch1 burst at 1.0-1.05 s must be annotated
+        assert any(s <= 1.0 and e >= 1.05
+                   for s, e in p.bad_annotations), p.bad_annotations
+
+    def test_all_bad_raises(self):
+        fs = 500
+        x = 1.0 * np.random.default_rng(1).standard_normal((fs * 4, 3))
+        p = BiosignalPreprocessor(
+            x, fs, 'eeg', n_ica_components=None, wavelet_type=None,
+            reference_channels=None, amplitude_rejection_threshold=3e-3)
+        with pytest.raises(ValueError, match="all channels"):
+            p._annotate_amplitude_based_artefacts()
