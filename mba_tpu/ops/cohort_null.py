@@ -157,6 +157,20 @@ _subject_rotation_coeffs = functools.partial(
                               "window_chunk"))(_rotation_coeffs_body)
 
 
+@functools.partial(jax.jit, static_argnames=("J",))
+def _sharded_epilogue(base_j, coef_all, J: int):
+    """Cohort mean + observed from the (padded) sharded coefficient
+    pass — same contract as ``_cohort_rotation_coeffs``."""
+    base_j = base_j[:J]
+    coef_all = coef_all[:J]
+    base_cohort = base_j.mean(axis=0)
+    P = coef_all.shape[-1]
+    base_flat = base_cohort.reshape(base_cohort.shape[0], -1)
+    observed_flat = base_flat + coef_all[..., :P // 2].sum(
+        axis=-1).mean(axis=0)
+    return base_cohort, coef_all, observed_flat
+
+
 @jax.jit
 def _pipelined_epilogue(bases, coefs):
     """Stack per-subject pipelined results on device (no host round trip).
@@ -210,6 +224,52 @@ def _cohort_rotation_coeffs(eeg, emg, starts, weights, tapers,
     observed_flat = base_flat + coef_all[..., :P // 2].sum(
         axis=-1).mean(axis=0)
     return base_cohort, coef_all, observed_flat
+
+
+def _make_sharded_coeffs(mesh, J: int, window_samples: int, band_lo: int,
+                         band_hi: int, window_chunk: int):
+    """Subject-sharded coefficient precompute under ``mesh``.
+
+    Subjects are split over every device of the (flattened) mesh; each
+    device runs the same per-subject body (``_rotation_coeffs_body``
+    via ``lax.map``) on its local subjects — embarrassingly parallel,
+    no collectives (the cohort mean/observed epilogue runs on the
+    gathered result).  Returns (jitted fn, j_pad): call with inputs
+    padded to ``j_pad`` subjects (tile the last subject; the pad rows
+    are sliced away by the caller).
+
+    This is what lets the v5e-8 projection divide the measured
+    coefficient pass by the subject-shard factor with evidence — the
+    path is exercised by ``__graft_entry__.dryrun_multichip`` and
+    asserted equal to the single-device program in tests.
+    """
+    import math as _math
+    from jax.sharding import Mesh, PartitionSpec as Pspec
+    from jax import shard_map
+
+    flat = Mesh(mesh.devices.reshape(-1), ("subj",))
+    n_dev = int(flat.devices.size)
+    j_pad = n_dev * _math.ceil(J / n_dev)
+
+    def per_device(eeg, emg, starts, weights, tapers):
+        def one(args):
+            e, m, s, w = args
+            b, c = _rotation_coeffs_body(
+                e.astype(jnp.float32), m.astype(jnp.float32), s, w,
+                tapers, window_samples, band_lo, band_hi, window_chunk)
+            return b, c.reshape(c.shape[0], -1, c.shape[-1])
+        return jax.lax.map(one, (eeg, emg, starts, weights))
+
+    # check_vma=False: the per-subject body builds its scan carry fresh
+    # (unvarying) while the inputs are 'subj'-varying — the static vma
+    # checker rejects that even though the body touches no collectives
+    # (same situation as the interpret-mode Pallas chunk above)
+    fn = shard_map(per_device, mesh=flat,
+                   in_specs=(Pspec("subj"), Pspec("subj"),
+                             Pspec("subj"), Pspec("subj"), Pspec()),
+                   out_specs=(Pspec("subj"), Pspec("subj")),
+                   check_vma=False)
+    return jax.jit(fn), j_pad, n_dev, flat
 
 
 def _null_chunk_core(key, coef_all, base_cohort, observed, counts,
@@ -519,9 +579,53 @@ def cohort_msc_rotation_null(
             _time.perf_counter() - t_ov0 - t_q, 3)
         return out
 
-    pipelined = bool(overlap_upload)
-    base_cohort_d, coef_all, observed_flat = (
-        _precompute_pipelined() if pipelined else _precompute_fused())
+    def _precompute_sharded():
+        """Subject-sharded coefficient pass over the mesh (one sharded
+        upload, no collectives; the pad subjects are sliced away in the
+        epilogue).  The measured ``coeffs_sec`` here is the per-shard
+        wall — the multi-chip speed-up the projections may credit."""
+        nonlocal eeg, emg
+        from jax.sharding import NamedSharding, PartitionSpec as Pspec
+        tq0 = _time.perf_counter()
+        if quantize is not None and eeg.dtype != td:
+            eeg = quantize(eeg)
+            emg = quantize(emg)
+        t_stage["quantize_sec"] = round(_time.perf_counter() - tq0, 3)
+        fn, j_pad, n_dev, flat = _make_sharded_coeffs(
+            mesh, J, window_samples, lo, hi, wc)
+
+        def pad_subjects(x):
+            x = np.asarray(x) if not isinstance(x, jax.Array) else x
+            if j_pad == J:
+                return x
+            reps = np.concatenate if not isinstance(x, jax.Array) \
+                else jnp.concatenate
+            return reps([x] + [x[-1:]] * (j_pad - J))
+
+        sharded = NamedSharding(flat, Pspec("subj"))
+        t_up0 = _time.perf_counter()
+        eeg_s = jax.device_put(pad_subjects(eeg), sharded)
+        emg_s = jax.device_put(pad_subjects(emg), sharded)
+        starts_s = jax.device_put(pad_subjects(window_starts
+                                               .astype(np.int32)),
+                                  sharded)
+        weights_s = jax.device_put(pad_subjects(window_weights), sharded)
+        jax.block_until_ready((eeg_s, emg_s))
+        t_stage["upload_sec"] = round(_time.perf_counter() - t_up0, 3)
+        t_co0 = _time.perf_counter()
+        base_j, coef_p = fn(eeg_s, emg_s, starts_s, weights_s, tapers_j)
+        out = _sharded_epilogue(base_j, coef_p, J)
+        jax.block_until_ready(out)
+        t_stage["coeffs_sec"] = round(_time.perf_counter() - t_co0, 3)
+        t_stage["coeffs_shard_devices"] = n_dev
+        return out
+
+    pipelined = bool(overlap_upload) and mesh is None
+    if mesh is not None:
+        base_cohort_d, coef_all, observed_flat = _precompute_sharded()
+    else:
+        base_cohort_d, coef_all, observed_flat = (
+            _precompute_pipelined() if pipelined else _precompute_fused())
     base_flat = base_cohort_d.reshape(nF, nE * nM)
     P_feats = int(coef_all.shape[-1])
     observed = np.asarray(observed_flat).reshape(nF, nE, nM)
@@ -533,6 +637,8 @@ def cohort_msc_rotation_null(
     def _recompute_coef_all():
         """Rare path: re-derive the f32 coefficient tensor after it was
         dropped (transient Pallas fault after the path proved out)."""
+        if mesh is not None:
+            return _precompute_sharded()[1]
         return (_precompute_pipelined() if pipelined
                 else _precompute_fused())[1]
 

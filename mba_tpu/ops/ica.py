@@ -135,8 +135,8 @@ class InfomaxICA:
         self.exclude: list[int] = []
 
     def fit(self, data: np.ndarray) -> "InfomaxICA":
-        """data: (n_samples, n_channels)."""
-        x_d = jnp.asarray(np.asarray(data), jnp.float32)
+        """data: (n_samples, n_channels) — numpy or device-resident."""
+        x_d = jnp.asarray(data, jnp.float32)
         n_samples, n_ch = x_d.shape
 
         mean_d, cov_d = _mean_cov(x_d)
@@ -180,7 +180,7 @@ class InfomaxICA:
 
     def get_sources(self, data: np.ndarray) -> np.ndarray:
         """(n_samples, n_components) source estimates (device matmul)."""
-        x_d = jnp.asarray(np.asarray(data), jnp.float32)
+        x_d = jnp.asarray(data, jnp.float32)
         return np.asarray(_project(
             x_d, jnp.asarray(self._mean, jnp.float32),
             jnp.asarray(self.unmixing_, jnp.float32)), np.float64)
@@ -192,20 +192,25 @@ class InfomaxICA:
         Mirrors ``mne.preprocessing.ICA.apply`` (reference
         preprocessing.py:718): the artifact subspace is projected out, the
         remainder (including any non-retained PCA subspace) is kept.
+        A device-resident input stays on device (float32); numpy input
+        returns numpy float64 as before.
         """
         exclude = exclude if exclude is not None else self.exclude
-        x = np.asarray(data, np.float64)
+        on_device = isinstance(data, jax.Array)
         if not len(exclude):
-            return x.copy()
-        x_d = jnp.asarray(x, jnp.float32)
+            return data if on_device else np.asarray(data,
+                                                     np.float64).copy()
+        x_d = jnp.asarray(data, jnp.float32)
         mean_d = jnp.asarray(self._mean, jnp.float32)
         # artifact = sources[:, exclude] @ mixing[:, exclude].T, fused:
         # (x - mean) @ (unmixing[exclude].T @ mixing[:, exclude].T)
         proj = (self.unmixing_[exclude].T
                 @ self.mixing_[:, exclude].T)              # (C, C)
-        artifact = np.asarray(_project(
-            x_d, mean_d, jnp.asarray(proj.T, jnp.float32)), np.float64)
-        return x - artifact
+        artifact = _project(x_d, mean_d, jnp.asarray(proj.T, jnp.float32))
+        if on_device:
+            return x_d - artifact
+        return np.asarray(data, np.float64) - np.asarray(artifact,
+                                                         np.float64)
 
 
 # --------------------------------------------------------------------------

@@ -58,12 +58,19 @@ _STAGE_ATTRS = {
 
 @functools.partial(jax.jit, static_argnames=("window",))
 def _rolling_ptp(x, window):
-    """Per-channel rolling peak-to-peak over ``window`` samples."""
-    n = x.shape[0]
-    idx = (jnp.arange(n - window + 1, dtype=jnp.int32)[:, None]
-           + jnp.arange(window, dtype=jnp.int32)[None, :])
-    frames = x[idx]                         # (n-w+1, w, C)
-    return frames.max(axis=1) - frames.min(axis=1)
+    """Per-channel rolling peak-to-peak over ``window`` samples.
+
+    ``lax.reduce_window`` keeps the memory at O(n·C): the previous
+    gather-based version materialized an (n−w+1, w, C) frame tensor —
+    90 GB at the study's 28-min × 64-ch scale.
+    """
+    hi = jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, window_dimensions=(window, 1),
+        window_strides=(1, 1), padding="VALID")
+    lo = jax.lax.reduce_window(
+        x, jnp.inf, jax.lax.min, window_dimensions=(window, 1),
+        window_strides=(1, 1), padding="VALID")
+    return hi - lo
 
 
 class BiosignalPreprocessor:
@@ -83,10 +90,23 @@ class BiosignalPreprocessor:
                  automatic_ic_labelling: bool = True,
                  laplacian_filter_neighbor_radius='auto',
                  wavelet_type: str | None = None,
-                 denoising_threshold_mode: Literal['soft', 'hard'] = 'soft'):
+                 denoising_threshold_mode: Literal['soft', 'hard'] = 'soft',
+                 device_resident: bool = False):
         assert np_input_data.shape[1] < np_input_data.shape[0], \
             "Should be more timesteps (rows) than channels (columns)!"
-        self._np_input_data = np.asarray(np_input_data)
+        # device_resident: keep every stage result on the accelerator —
+        # the cascade then transfers the recording host→device ONCE and
+        # downloads only what a consumer asks for via np.asarray (tiny
+        # diagnostics excepted).  The default (False) stores each stage
+        # as a numpy array, mirroring the reference's MNE RawArray
+        # staging — but at study scale (28 min × 64 ch) each stage
+        # round-trips ~0.9 GB over the host link, which dominated the
+        # five-stage pipeline benchmark wall clock (BENCH_PIPELINE).
+        self._device_resident = bool(device_resident)
+        if isinstance(np_input_data, jax.Array):
+            self._np_input_data = np_input_data
+        else:
+            self._np_input_data = np.asarray(np_input_data)
         self._sampling_freq = sampling_freq
         self._modality = modality
         self._band_pass_frequencies = band_pass_frequencies
@@ -103,6 +123,13 @@ class BiosignalPreprocessor:
         self._wavelet_type = wavelet_type
         self._denoising_threshold_mode = denoising_threshold_mode
         self._reset_all_results()
+
+    def _maybe_host(self, x):
+        """Stage-result placement: device array in ``device_resident``
+        mode, numpy otherwise."""
+        if self._device_resident:
+            return x if isinstance(x, jax.Array) else jnp.asarray(x)
+        return np.asarray(x)
 
     def _reset_all_results(self):
         self._filtered_data = None
@@ -348,7 +375,7 @@ class BiosignalPreprocessor:
                      for i in range(1, self.notch_harmonics + 1)]
             out = notch_filter(out, self.sampling_freq, freqs,
                                notch_widths=self.notch_width)
-        self._filtered_data = np.asarray(out)
+        self._filtered_data = self._maybe_host(out)
         return self._filtered_data
 
     @property
@@ -365,7 +392,7 @@ class BiosignalPreprocessor:
             inds = [EEG_CHANNEL_IND_DICT[ch]
                     for ch in np.atleast_1d(self.reference_channels)]
             ref = x[:, inds].mean(axis=1, keepdims=True)
-        self._referenced_data = x - ref
+        self._referenced_data = self._maybe_host(x - ref)
         return self._referenced_data
 
     def _annotate_amplitude_based_artefacts(
@@ -385,10 +412,11 @@ class BiosignalPreprocessor:
         data = (self.np_referenced_data if input_data is None
                 else input_data)
         window = max(2, int(round(min_duration * self.sampling_freq)))
-        ptp = np.asarray(_rolling_ptp(
-            jnp.asarray(data, jnp.float32), window))
-        exceed = ptp > self.amplitude_rejection_threshold  # (n-w+1, C)
-        bad_fraction = exceed.mean(axis=0) * 100.0
+        # (n-w+1, C) exceedance stays on device; only the per-channel
+        # fractions and the (n,) any-channel trace come back to host
+        exceed_d = _rolling_ptp(jnp.asarray(data, jnp.float32), window) \
+            > self.amplitude_rejection_threshold
+        bad_fraction = np.asarray(exceed_d.mean(axis=0)) * 100.0
         bad_idx = np.flatnonzero(
             bad_fraction > max_bad_segments_percent).tolist()
 
@@ -396,7 +424,7 @@ class BiosignalPreprocessor:
             names = self.channel_names
             self._bad_channels = [names[i] for i in bad_idx]
             # merged bad-segment intervals (any channel exceeding)
-            any_bad = exceed.any(axis=1)
+            any_bad = np.asarray(exceed_d.any(axis=1))
             edges = np.diff(any_bad.astype(int))
             starts = np.flatnonzero(edges == 1) + 1
             ends = np.flatnonzero(edges == -1) + 1
@@ -489,8 +517,8 @@ class BiosignalPreprocessor:
             auto = [i for i, lab in enumerate(labels) if lab in to_exclude]
             exclusion += auto
         self.ica_result.exclude = sorted(set(exclusion))
-        self._artefact_free_data = self.ica_result.apply(
-            self.np_amplitude_compliant_data, self.ica_result.exclude)
+        self._artefact_free_data = self._maybe_host(self.ica_result.apply(
+            self.np_amplitude_compliant_data, self.ica_result.exclude))
         return self._artefact_free_data
 
     def get_neighboring_electrodes_mapping(self) -> list[list[int]]:
@@ -528,7 +556,7 @@ class BiosignalPreprocessor:
                 w[i, neigh] = 1.0 / len(neigh)
         x = jnp.asarray(self.np_artefact_free_data, jnp.float32)
         out = x - x @ jnp.asarray(w).T
-        self._spatially_filtered_data = np.asarray(out)
+        self._spatially_filtered_data = self._maybe_host(out)
         return self._spatially_filtered_data
 
     @property
@@ -538,7 +566,7 @@ class BiosignalPreprocessor:
             return self._denoised_data
         if self.wavelet_type is None:
             return self.np_spatially_filtered_data
-        self._denoised_data = np.asarray(wavelet_denoise(
+        self._denoised_data = self._maybe_host(wavelet_denoise(
             self.np_spatially_filtered_data, self.wavelet_type,
             mode=self.denoising_threshold_mode))
         return self._denoised_data

@@ -263,3 +263,29 @@ class TestAnnotateAmplitudeReferenceDefaults:
             reference_channels=None, amplitude_rejection_threshold=3e-3)
         with pytest.raises(ValueError, match="all channels"):
             p._annotate_amplitude_based_artefacts()
+
+
+class TestDeviceResidentCascade:
+    """device_resident=True keeps every stage on the accelerator and
+    must agree with the host-staged default bit-for-bit at f32."""
+
+    def test_equals_default_cascade(self):
+        import jax
+        import jax.numpy as jnp
+        x = _eeg_like(seconds=20, n_ch=6)
+        kw = dict(sampling_freq=256, modality='eeg', n_ica_components=3,
+                  automatic_ic_labelling=True, wavelet_type='db4',
+                  amplitude_rejection_threshold=3e-4)
+        host = BiosignalPreprocessor(x, **kw)
+        dev = BiosignalPreprocessor(jnp.asarray(x, jnp.float32), **kw,
+                                    device_resident=True)
+        out_h = host.np_output_data
+        out_d = dev.np_output_data
+        assert isinstance(out_d, jax.Array)
+        np.testing.assert_allclose(np.asarray(out_d), out_h,
+                                   rtol=2e-4, atol=1e-9)
+        assert dev.bad_channels == host.bad_channels
+        assert dev.ica_result.exclude == host.ica_result.exclude
+        # intermediate stages live on device
+        assert isinstance(dev.np_filtered_data, jax.Array)
+        assert isinstance(dev.np_artefact_free_data, jax.Array)
