@@ -324,6 +324,10 @@ def msc_phase_randomized_null(
     """
     eeg = np.asarray(eeg, np.float32)
     emg = np.asarray(emg, np.float32)
+    if eeg.ndim == 1:          # promote single channels like multitaper_psd
+        eeg = eeg[:, None]
+    if emg.ndim == 1:
+        emg = emg[:, None]
     n_samples = eeg.shape[0]
     window_samples = int(window_length_sec * sampling_freq)
     hop = int(window_samples * (1 - overlap_frac))

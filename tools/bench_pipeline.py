@@ -127,7 +127,10 @@ def cpu_ica_epoch_denominator(x_white, block, n_comp, rng):
     n_blocks = n // block
     w = np.eye(n_comp, dtype=np.float32)
     signs = np.ones(n_comp, np.float32)
-    lrate = np.float32(1e-3)
+    # tiny rate: this loop exists for TIMING (flops identical); the
+    # production schedule lives in ops/ica.py — a big rate on unwhitened
+    # blocks just overflows to NaN without changing the cost
+    lrate = np.float32(1e-7)
     eye = np.eye(n_comp, dtype=np.float32)
     perm = rng.permutation(n)[:n_blocks * block]
     data = x_white[perm].reshape(n_blocks, block, n_comp)
@@ -332,9 +335,10 @@ def main():
                     "Liking": rng.integers(1, 8),
                 })
         combined = pd.DataFrame(rows)
-        ts_name = time.strftime("%Y-%m-%d %H-%M-%S")
+        from mba_tpu.utils import file_management as filemgmt
         combined.to_csv(
-            feat_dir / f"Combined Statistics 1seg - {ts_name}.csv",
+            feat_dir / filemgmt.file_title("Combined Statistics 1seg",
+                                           ".csv"),
             index=False)
         stages["s4_stats_frame_sec"] = round(time.perf_counter() - t0, 2)
         log(f"[s4] combined frame ({len(combined)} rows): "
