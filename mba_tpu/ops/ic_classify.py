@@ -18,12 +18,17 @@ Per-class evidence:
 - **eye blink** — frontal topography dominance (Fp*/AF* channels) together
   with low-frequency (< 4 Hz) spectral dominance and one-sided deflections
   (|skewness|).
-- **heart beat** — QRS-train periodicity: sharp supra-3σ peaks with a
-  0.4–1.6 s inter-peak interval of low coefficient of variation, plus high
-  kurtosis.
-- **muscle artifact** — flat-to-rising log-log spectral slope above 7 Hz
-  (EMG, vs the ~1/f EEG background) and high-frequency (> 30 Hz) power
-  dominance.
+- **heart beat** — QRS-train periodicity on the 5–18 Hz band (the
+  Pan-Tompkins QRS band: 1/f background leak lives almost entirely below
+  5 Hz, so band-passing before peak detection keeps the R-peaks supra-3
+  robust-σ even when the component carries 40 % background variance):
+  low inter-peak-interval CV at 37–150 bpm plus high in-band kurtosis.
+- **muscle artifact** — high-band power ratio P(45–250 Hz)/P(20–45 Hz)
+  (flat EMG ≈ bandwidth ratio ≫ 1; 1/f EEG ≈ 1.0–1.6 — and, unlike the
+  >30 Hz *fraction of total*, the ratio is insensitive to low-frequency
+  background leak), gated on the above-20 Hz power fraction being
+  material; the 48–52 Hz mains band is excised from both ratio bands so
+  hum cannot masquerade as EMG.
 - **line noise** — narrowband power concentration at the mains frequency
   (50 Hz ± 1) relative to its spectral neighbourhood.
 - **brain / other** — fallback when no artifact class scores.
@@ -47,6 +52,21 @@ def _band_fraction(freqs, power, lo, hi, total_lo=0.5):
     return float(power[(freqs >= lo) & (freqs < hi)].sum() / total)
 
 
+def _robust_sigma(x: np.ndarray) -> float:
+    """MAD-based σ estimate — insensitive to the sparse large peaks whose
+    detection it thresholds (a plain std is inflated by the peaks
+    themselves plus any broadband contamination)."""
+    med = np.median(x)
+    return float(1.4826 * np.median(np.abs(x - med)))
+
+
+def _bandpass_fft(spec: np.ndarray, freqs: np.ndarray, n: int,
+                  lo: float, hi: float) -> np.ndarray:
+    """Brick-wall band-pass from an already-computed rfft."""
+    keep = (freqs >= lo) & (freqs < hi)
+    return np.fft.irfft(np.where(keep, spec, 0.0), n=n)
+
+
 def _spectral_slope(freqs, power, lo=7.0, hi=45.0):
     """Log-log slope of the spectrum in [lo, hi) Hz (EEG ≈ −1…−2; EMG
     ≈ flat or rising)."""
@@ -58,8 +78,15 @@ def _spectral_slope(freqs, power, lo=7.0, hi=45.0):
 
 
 def _qrs_periodicity(source: np.ndarray, fs: float) -> float:
-    """Score ∈ [0, 1] for an ECG-like sharp periodic peak train."""
-    z = (source - source.mean()) / (source.std() + 1e-20)
+    """Score ∈ [0, 1] for an ECG-like sharp periodic peak train.
+
+    Detection runs on the 5–18 Hz band (Pan-Tompkins QRS band) with a
+    robust (MAD) σ: 1/f background leak concentrates below 5 Hz, so the
+    R-peaks stay far above threshold even for heavily contaminated
+    components.  ``source`` is expected already band-passed (see
+    ``component_features``); falls back to the raw signal for short fs.
+    """
+    z = (source - source.mean()) / (_robust_sigma(source) + 1e-20)
     a = np.abs(z)
     # local maxima above 3σ with a 250 ms refractory period
     cand = np.flatnonzero((a[1:-1] > 3.0) & (a[1:-1] >= a[:-2])
@@ -77,11 +104,18 @@ def _qrs_periodicity(source: np.ndarray, fs: float) -> float:
     med = float(np.median(ipi))
     if not (0.4 <= med <= 1.6):                 # 37–150 bpm
         return 0.0
-    cv = float(np.std(ipi) / (np.mean(ipi) + 1e-20))
-    # expected beat count must roughly fill the recording
+    # outlier-robust rhythm evidence: the fraction of inter-peak
+    # intervals at the median RR *or its double* (a missed beat under
+    # heavy contamination produces exactly one doubled interval; a raw
+    # CV blows up on those and rejects genuinely rhythmic trains)
+    near = np.abs(ipi - med) < 0.2 * med
+    doubled = np.abs(ipi - 2.0 * med) < 0.3 * med
+    regularity = float(np.mean(near | doubled))
+    # peaks (+ the beats hidden inside doubled intervals) must roughly
+    # fill the recording; squares keep Poisson-interval impostors low
     expected = (len(source) / fs) / med
-    coverage = min(len(peaks) / max(expected, 1.0), 1.0)
-    return float(np.exp(-cv / 0.2) * coverage)
+    coverage = min((len(peaks) + doubled.sum()) / max(expected, 1.0), 1.0)
+    return float(regularity ** 2 * coverage)
 
 
 def component_features(source: np.ndarray, topo: np.ndarray, fs: float,
@@ -92,7 +126,29 @@ def component_features(source: np.ndarray, topo: np.ndarray, fs: float,
     n_use = min(n, int(120 * fs))               # cap spectral cost
     seg = src[:n_use] - src[:n_use].mean()
     freqs = np.fft.rfftfreq(n_use, 1.0 / fs)
-    power = np.abs(np.fft.rfft(seg)) ** 2
+    spec = np.fft.rfft(seg)
+    power = np.abs(spec) ** 2
+
+    # QRS band (5-18 Hz): background leak lives below it
+    if fs > 40:
+        qrs_sig = _bandpass_fft(spec, freqs, n_use, 5.0, 18.0)
+    else:
+        qrs_sig = seg
+    q_sd = qrs_sig.std() + 1e-20
+    qrs_kurtosis = float(np.mean((qrs_sig / q_sd) ** 4) - 3.0)
+
+    # EMG high-band ratio with the mains band excised
+    def _band_sum(lo, hi):
+        m = (freqs >= lo) & (freqs < hi) & (
+            (freqs < 48.0) | (freqs >= 52.0))
+        return float(power[m].sum())
+    if fs > 120:
+        hf_ratio = (_band_sum(45.0, min(fs / 2, 250.0))
+                    / (_band_sum(20.0, 45.0) + 1e-20))
+        above20_frac = _band_fraction(freqs, power, 20.0, fs / 2)
+    else:
+        hf_ratio = 0.0
+        above20_frac = 0.0
 
     t = np.abs(np.asarray(topo, np.float64))
     t_norm = t / (np.linalg.norm(t) + 1e-20)
@@ -114,27 +170,39 @@ def component_features(source: np.ndarray, topo: np.ndarray, fs: float,
         "line_frac": line_band,
         "line_contrast": float(line_band / (neighbor + 1e-20)),
         "spectral_slope": _spectral_slope(freqs, power),
+        "hf_ratio": hf_ratio,
+        "above20_frac": above20_frac,
         "kurtosis": float(np.mean(((src - src.mean()) / sd) ** 4) - 3.0),
+        "qrs_kurtosis": qrs_kurtosis,
         "abs_skew": float(abs(np.mean(((src - src.mean()) / sd) ** 3))),
-        "qrs_score": _qrs_periodicity(src, fs),
+        "qrs_score": _qrs_periodicity(qrs_sig, fs),
     }
 
 
 def class_scores(feats: dict, n_ch: int) -> dict:
     """Soft per-class scores ∈ [0, 1] from the evidence features."""
     s = {}
-    s["channel noise"] = (_sigmoid(feats["topo_max"], 0.87, 0.03)
-                          * _sigmoid(feats["topo_top2_ratio"], 3.0, 0.5)
-                          if n_ch > 2 else 0.0)
+    if n_ch > 2:
+        _ratio = _sigmoid(feats["topo_top2_ratio"], 3.0, 0.5)
+        # topography alone cannot separate a background-blurred one-hot
+        # topo (max|w|/‖w‖ ≈ 0.85) from a sharply focal brain dipole, so
+        # the softer-topo path additionally requires the impulsive
+        # (high-kurtosis) time course of pops/steps
+        s["channel noise"] = max(
+            _sigmoid(feats["topo_max"], 0.87, 0.03) * _ratio,
+            (_sigmoid(feats["topo_max"], 0.80, 0.03) * _ratio
+             * _sigmoid(feats["kurtosis"], 2.0, 0.8)))
+    else:
+        s["channel noise"] = 0.0
     s["line noise"] = min(_sigmoid(feats["line_frac"], 0.25, 0.05),
                           _sigmoid(feats["line_contrast"], 4.0, 1.0))
     s["eye blink"] = (_sigmoid(feats["frontal_frac"], 0.45, 0.08)
                       * _sigmoid(feats["low_frac"], 0.35, 0.08)
                       * _sigmoid(feats["abs_skew"], 0.25, 0.15))
     s["heart beat"] = (feats["qrs_score"]
-                       * _sigmoid(feats["kurtosis"], 1.5, 1.0))
-    s["muscle artifact"] = (_sigmoid(feats["spectral_slope"], -0.35, 0.2)
-                            * _sigmoid(feats["high_frac"], 0.40, 0.08))
+                       * _sigmoid(feats["qrs_kurtosis"], 1.0, 0.5))
+    s["muscle artifact"] = (_sigmoid(feats["hf_ratio"], 2.2, 0.4)
+                            * _sigmoid(feats["above20_frac"], 0.35, 0.08))
     return s
 
 

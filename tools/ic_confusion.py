@@ -181,6 +181,8 @@ def make_component(cls, fs, ch_names, rng):
 
 
 def main():
+    import jax
+    jax.config.update("jax_platforms", "cpu")   # axon plugin overrides env
     from mba_tpu.ops.ic_classify import classify_components, EXCLUDE_CLASSES
 
     t0 = time.perf_counter()
