@@ -390,7 +390,11 @@ def full_cohort_10k_null_study_scale(n_subjects=12, n_surrogates=10_000,
     upload_bytes = eeg.nbytes + emg.nbytes
     eeg_d = jax.device_put(eeg)
     emg_d = jax.device_put(emg)
-    jax.block_until_ready((eeg_d, emg_d))
+    # hard_sync, not block_until_ready: the relay acks device_put before
+    # the bytes finish streaming, so only a readback barrier gives the
+    # upload timer its real cost (utils/profiling.py:hard_sync)
+    from mba_tpu.utils.profiling import hard_sync
+    hard_sync(eeg_d, emg_d)
     t["upload_sec"] = round(time.perf_counter() - t0, 2)
     t["upload_bytes"] = int(upload_bytes)
     del eeg, emg
@@ -460,9 +464,10 @@ def batched_preprocessing_rate():
 
     VERDICT r2 #3: the r01/r02 version timed an unsynced dispatch over a
     re-uploaded input, so the captured number swung 19× on tunnel
-    weather.  Now: upload timed separately (once), and the tracked rate
-    is the device-resident compute with ``block_until_ready`` inside the
-    timed region.
+    weather.  Now: upload timed separately (once, with a hard readback
+    barrier — the relay acks device_put before the bytes land, see
+    ``utils/profiling.py:hard_sync``), and the tracked rate is the
+    device-resident compute synced inside the timed region.
     """
     import jax
     import jax.numpy as jnp
@@ -477,17 +482,20 @@ def batched_preprocessing_rate():
     hop = int(ws * (1 - OVERLAP))
     starts = np.arange(0, n - ws + 1, hop)
 
+    from mba_tpu.utils.profiling import hard_sync
     t_up0 = time.perf_counter()
     data_d = jax.device_put(data)
-    jax.block_until_ready(data_d)
+    hard_sync(data_d)      # device_put acks before the bytes land
     t_upload = time.perf_counter() - t_up0
 
     def run():
         x = bandpass_filter(data_d, FS, 0.1, 100.0)
         x = notch_filter(x, FS, [50.0 * i for i in range(1, 5)])
+        # block_until_ready is reliable here: the input is resident
+        # (hard-synced above), and compute-only chains do block
         return jax.block_until_ready(frame_signal(x, starts, ws))
 
-    run()                                    # compile warm-up
+    hard_sync(run())                         # compile warm-up + drain
     times = []
     for _ in range(3):
         t0 = time.perf_counter()

@@ -52,7 +52,19 @@ truth (tested); under a strong true coupling the null widens (it does not
 enjoy the 1/W variance shrinkage a per-window randomisation would give),
 making the test *conservative* in the alternative — detection of real
 coupling still stands out by construction since the observed statistic
-contains the coherent sum the rotations destroy.
+contains the coherent sum the rotations destroy.  (Measured against the
+classic full-FFT engine the power cost is immaterial: BENCH_NULL_POWER.json,
+max gap 0.017 over a coupling × window-count sweep.)
+
+Exactness requires *non-overlapping* windows: overlapping windows'
+taper coefficients carry a non-zero pseudo-covariance E[M_kw M_kw']
+(no conjugate) through their shared samples, and a common rotation
+multiplies it by e^{2iφ} instead of preserving it.  Empirically this
+inflates H0 rejection on 50 %-overlap grids as W grows (~0.10 at
+nominal 0.05, W = 128).  The engine therefore computes the inference
+statistic on a maximal disjoint window subset by default
+(``p_value_windows='disjoint'``), which restores exact calibration at
+every W; the dense-overlap map remains the estimation layer's job.
 
 Cohort statistic: mean over subjects of the per-subject window-averaged MSC
 map, maximised over the analysis band × all pairs (FWE max statistic), with
@@ -68,6 +80,7 @@ import jax.numpy as jnp
 
 from mba_tpu.ops.dpss import filtered_tapers
 from mba_tpu.ops.framing import frame_signal, window_grid
+from mba_tpu.utils.profiling import hard_sync as _hard_sync
 
 _F32_TINY = np.float32(np.finfo(np.float32).tiny)
 
@@ -376,6 +389,7 @@ def cohort_msc_rotation_null(
         mesh=None,
         window_starts=None,
         window_weights=None,
+        p_value_windows: str = "disjoint",
         overlap_upload: bool = True,
         precompute_only: bool = False,
         verbose: bool = False,
@@ -405,6 +419,18 @@ def cohort_msc_rotation_null(
     window_starts / window_weights : optional (J, W) per-subject window
         starts (sample index) and weights (e.g. a task mask as 0/1 floats).
         Default: the full "cmc"-convention grid, all weight 1.
+    p_value_windows : ``'disjoint'`` (default) computes the statistic and
+        its null on a maximal non-overlapping subset of the windows;
+        ``'all'`` uses every window.  The shared taper rotation is exactly
+        distribution-preserving for disjoint windows, but *overlapping*
+        windows carry a non-zero pseudo-covariance between their taper
+        coefficients that a common rotation does not preserve — measured
+        H0 rejection at nominal α = 0.05 with 50 %-overlap grids grows
+        from ~0.05 (W ≤ 32) to ~0.10 (W = 128, 200 replicates) under
+        ``'all'``, while ``'disjoint'`` stays at nominal for every W
+        (0.03 at W = 128).  Estimation (the coherence *map*) is
+        unaffected — use ``parallel.cohort.cohort_multitaper_msc`` for
+        overlap-dense estimates; this engine's job is inference.
     overlap_upload : pipeline the precompute per subject — quantize
         subject j+1 on the host while the link uploads subject j and the
         chip runs subject j-1's coefficient pass (all transfers and
@@ -484,6 +510,28 @@ def cohort_msc_rotation_null(
     if window_weights is None:
         window_weights = np.ones(window_starts.shape, np.float32)
     window_weights = np.asarray(window_weights, np.float32)
+    if p_value_windows == "disjoint":
+        # greedy maximal non-overlapping subset per subject (ignoring
+        # zero-weight windows so a masked-out window never blocks an
+        # active one); a non-overlapping grid passes through unchanged
+        keep = np.zeros(window_starts.shape, np.float32)
+        for j in range(window_starts.shape[0]):
+            order = np.argsort(window_starts[j], kind="stable")
+            last = -(1 << 62)
+            for idx in order:
+                if window_weights[j, idx] == 0.0:
+                    continue
+                s = int(window_starts[j, idx])
+                if s >= last + window_samples:
+                    keep[j, idx] = 1.0
+                    last = s
+        window_weights = window_weights * keep
+        if not window_weights.any():
+            raise ValueError("p_value_windows='disjoint' left no active "
+                             "windows — check window_starts/weights")
+    elif p_value_windows != "all":
+        raise ValueError("p_value_windows must be 'disjoint' or 'all', "
+                         f"got {p_value_windows!r}")
     W = window_starts.shape[1]
     wc = int(min(window_chunk, W))   # chunk-padding happens inside the jit
 
@@ -537,13 +585,13 @@ def cohort_msc_rotation_null(
         t_up0 = _time.perf_counter()
         eeg_d = jnp.asarray(eeg)
         emg_d = jnp.asarray(emg)
-        jax.block_until_ready((eeg_d, emg_d))
+        _hard_sync(eeg_d, emg_d)     # device_put acks before bytes land
         t_stage["upload_sec"] = round(_time.perf_counter() - t_up0, 3)
         t_co0 = _time.perf_counter()
         out = _cohort_rotation_coeffs(
             eeg_d, emg_d, starts_all, weights_all,
             tapers_j, window_samples, lo, hi, wc)
-        jax.block_until_ready(out)
+        _hard_sync(out)
         t_stage["coeffs_sec"] = round(_time.perf_counter() - t_co0, 3)
         return out
 
@@ -571,7 +619,7 @@ def cohort_msc_rotation_null(
             bases.append(b)
             coefs.append(c)
         out = _pipelined_epilogue(tuple(bases), tuple(coefs))
-        jax.block_until_ready(out)
+        _hard_sync(out)          # one true barrier after the whole chain
         t_stage["quantize_sec"] = round(t_q, 3)
         # upload and coefficient passes overlap by construction; their
         # union is what remains after subtracting host quantize time
@@ -610,12 +658,12 @@ def cohort_msc_rotation_null(
                                                .astype(np.int32)),
                                   sharded)
         weights_s = jax.device_put(pad_subjects(window_weights), sharded)
-        jax.block_until_ready((eeg_s, emg_s))
+        _hard_sync(eeg_s, emg_s)
         t_stage["upload_sec"] = round(_time.perf_counter() - t_up0, 3)
         t_co0 = _time.perf_counter()
         base_j, coef_p = fn(eeg_s, emg_s, starts_s, weights_s, tapers_j)
         out = _sharded_epilogue(base_j, coef_p, J)
-        jax.block_until_ready(out)
+        _hard_sync(out)
         t_stage["coeffs_sec"] = round(_time.perf_counter() - t_co0, 3)
         t_stage["coeffs_shard_devices"] = n_dev
         return out

@@ -344,12 +344,15 @@ def msc_phase_randomized_null(
     fmask = jnp.asarray(fmask_np, jnp.float32)
 
     # stage timers (VERDICT r2 #3): on tunneled links the upload can
-    # dominate and swing with link weather — keep it attributable
+    # dominate and swing with link weather — keep it attributable.
+    # hard_sync, not block_until_ready: the relay acks device_put before
+    # the bytes finish streaming (utils/profiling.py:hard_sync)
+    from mba_tpu.utils.profiling import hard_sync
     import time as _time
     t_up0 = _time.perf_counter()
     eeg_j = jnp.asarray(eeg)
     emg_j = jnp.asarray(emg)
-    jax.block_until_ready((eeg_j, emg_j))
+    hard_sync(eeg_j, emg_j)
     t_upload = _time.perf_counter() - t_up0
     t_ob0 = _time.perf_counter()
     eeg_frames = frame_signal(eeg_j, starts_j, window_samples)

@@ -14,11 +14,38 @@ import time
 from pathlib import Path
 
 
+def hard_sync(*pytrees):
+    """True device barrier: reduce every array to one scalar on device
+    and read it back.
+
+    On the tunneled TPU backend ``jax.device_put`` acknowledges before
+    the host→device bytes finish streaming, and
+    ``jax.block_until_ready`` waits only for dispatched compute whose
+    inputs are already resident — a pending input upload blocks
+    *neither* (measured: block_until_ready after an 890 MB device_put
+    returns in 0.9 s; the next tiny readback then blocks 235 s while the
+    link drains at ~4 MB/s).  The only true barrier is a device→host
+    readback, so this reduces each array to a scalar (full data
+    dependency) and downloads those few bytes — one ~50 ms tunnel round
+    trip, not a bulk transfer.  Use it to close every timed region;
+    ``tools/roofline.py`` applies the same trick by fusing the reduction
+    into the timed program.
+    """
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    for tree in pytrees:
+        for leaf in jax.tree_util.tree_leaves(tree):
+            if isinstance(leaf, jax.Array):
+                s = jnp.sum(jnp.abs(leaf)) if jnp.iscomplexobj(leaf) \
+                    else jnp.sum(leaf)
+                np.asarray(s)
+
+
 def _block(result):
     """Wait for async JAX work so wall times mean what they say."""
     try:
-        import jax
-        jax.block_until_ready(result)
+        hard_sync(result)
     except Exception:
         pass
     return result

@@ -187,6 +187,49 @@ class TestEndToEnd:
             assert abs(got - gt) < 0.15 * gt, \
                 f"q{q}: rotation {got:.4f} vs fresh-draw {gt:.4f}"
 
+    def test_disjoint_subset_selection(self):
+        """'disjoint' (default) zeroes overlapping windows greedily,
+        skipping masked-out windows so they never block active ones;
+        'all' keeps everything; anything else raises."""
+        J, n = 2, 4096
+        rng = np.random.default_rng(0)
+        e = rng.standard_normal((J, n, 1)).astype(np.float32)
+        m = rng.standard_normal((J, n, 1)).astype(np.float32)
+        ws = int(0.5 * FS)
+        # 50%-overlap grid: disjoint subset = every 2nd window → the
+        # result must equal running 'all' on that explicit subset
+        starts, _ = window_grid(n, ws, ws // 2, FS, "cmc")
+        starts_j = np.tile(starts[None], (J, 1))
+        r_dis = cohort_msc_rotation_null(
+            e, m, FS, n_surrogates=50, window_length_sec=0.5,
+            band=(8.0, 40.0), surrogate_chunk=50,
+            window_starts=starts_j)
+        r_sub = cohort_msc_rotation_null(
+            e, m, FS, n_surrogates=50, window_length_sec=0.5,
+            band=(8.0, 40.0), surrogate_chunk=50,
+            window_starts=starts_j[:, ::2], p_value_windows="all")
+        np.testing.assert_allclose(r_dis["observed"], r_sub["observed"],
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(r_dis["max_stat"], r_sub["max_stat"],
+                                   rtol=1e-4, atol=1e-5)
+        # a zero-weight window must not block its overlapping neighbour
+        w = np.ones_like(starts_j, np.float32)
+        w[:, ::2] = 0.0                      # only odd windows active
+        r_w = cohort_msc_rotation_null(
+            e, m, FS, n_surrogates=8, window_length_sec=0.5,
+            band=(8.0, 40.0), surrogate_chunk=8,
+            window_starts=starts_j, window_weights=w)
+        r_w_sub = cohort_msc_rotation_null(
+            e, m, FS, n_surrogates=8, window_length_sec=0.5,
+            band=(8.0, 40.0), surrogate_chunk=8,
+            window_starts=starts_j[:, 1::2], p_value_windows="all")
+        np.testing.assert_allclose(r_w["observed"], r_w_sub["observed"],
+                                   rtol=1e-5, atol=1e-6)
+        with pytest.raises(ValueError, match="p_value_windows"):
+            cohort_msc_rotation_null(
+                e, m, FS, n_surrogates=4, window_length_sec=0.5,
+                p_value_windows="sometimes")
+
     def test_null_calibration_vs_full_fft(self):
         """Rotation null ≈ classic full-FFT phase-randomisation null."""
         from mba_tpu.ops.surrogate import msc_phase_randomized_null

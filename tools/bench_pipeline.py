@@ -146,6 +146,7 @@ def cpu_ica_epoch_denominator(x_white, block, n_comp, rng):
 def main():
     import jax
     from mba_tpu.io.otb4 import write_otb4, read_otb4
+    from mba_tpu.utils.profiling import hard_sync
     from mba_tpu.pipeline.preprocessing import BiosignalPreprocessor
     from mba_tpu.pipeline import signal_features as features
     from mba_tpu.pipeline.cbpa import CMC_EEG_CHANNEL_SUBSET
@@ -186,18 +187,18 @@ def main():
         # this tunnel before the mode existed)
         t0 = time.perf_counter()
         eeg_d = jax.device_put(eeg)
-        jax.block_until_ready(eeg_d)
+        hard_sync(eeg_d)
         stages["s2_eeg_upload_sec"] = round(time.perf_counter() - t0, 2)
         prep = BiosignalPreprocessor(
             eeg_d, int(FS), "eeg", n_ica_components=N_ICA,
             automatic_ic_labelling=True, wavelet_type=None,
             device_resident=True)
         t0 = time.perf_counter()
-        jax.block_until_ready(prep.np_filtered_data)
+        hard_sync(prep.np_filtered_data)
         t_filter = time.perf_counter() - t0
         log(f"[s2] … filter {t_filter:.1f}s")
         t0 = time.perf_counter()
-        jax.block_until_ready(prep.np_amplitude_compliant_data)
+        hard_sync(prep.np_amplitude_compliant_data)
         t_refamp = time.perf_counter() - t0
         log(f"[s2] … ref+amplitude {t_refamp:.1f}s")
         t0 = time.perf_counter()
@@ -205,12 +206,12 @@ def main():
         t_ica = time.perf_counter() - t0
         log(f"[s2] … ICA fit {t_ica:.1f}s ({ica.n_iter_} iters)")
         t0 = time.perf_counter()
-        jax.block_until_ready(prep.np_artefact_free_data)
+        hard_sync(prep.np_artefact_free_data)
         t_ica_apply = time.perf_counter() - t0
         n_excluded = len(ica.exclude)
         t0 = time.perf_counter()
         eeg_clean = prep.np_output_data
-        jax.block_until_ready(eeg_clean)
+        hard_sync(eeg_clean)
         t_spatial = time.perf_counter() - t0
         stages["s2_eeg_filter_sec"] = round(t_filter, 2)
         stages["s2_eeg_reference_amplitude_sec"] = round(t_refamp, 2)
@@ -235,7 +236,7 @@ def main():
             n_ica_components=None, automatic_ic_labelling=False,
             wavelet_type=None, laplacian_filter_neighbor_radius=None,
             device_resident=True).np_output_data
-        jax.block_until_ready((emg1_clean, emg2_clean))
+        hard_sync(emg1_clean, emg2_clean)
         stages["s2_emg_cascade_sec"] = round(time.perf_counter() - t0, 2)
         log(f"[s2] EMG cascades: {stages['s2_emg_cascade_sec']}s")
         del emg1, emg2, emg1_mv, emg2_mv
