@@ -154,6 +154,10 @@ def main():
     stages = {}
     denominators = {}
     platform = jax.devices()[0].platform
+    # warm the readback channel: the first device->host transfer in a
+    # process pays a ~20 s one-time setup that would otherwise land in
+    # whichever stage reads back first
+    hard_sync(jax.device_put(np.float32(1.0)))
 
     log("[synth] generating subject at study scale …")
     t0 = time.perf_counter()
