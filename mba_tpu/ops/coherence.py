@@ -36,6 +36,7 @@ Conventions copied from the reference:
 from __future__ import annotations
 
 import functools
+import time
 from typing import Literal
 
 import numpy as np
@@ -223,6 +224,7 @@ def multitaper_msc(
         transfer_dtype=None,
         input_transfer: Literal[None, "int16"] = None,
         verbose: bool = False,
+        collect_timings: bool = False,
 ) -> dict:
     """Multitaper magnitude-squared coherence over all EEG×EMG pairs.
 
@@ -246,14 +248,29 @@ def multitaper_msc(
     peak — an order of magnitude below the f16 *output* rounding above,
     and below the noise floor of any physical ADC front-end).  Arrays
     that are already int16 ADC counts upload verbatim.
+
+    ``collect_timings=True`` adds a ``result['timings']`` dict with
+    upload / compute / download wall seconds (each closed by a true
+    device barrier, see ``utils.profiling.hard_sync``) and the download
+    byte count.  Off by default: the barriers serialize stages that
+    otherwise overlap asynchronously, so enable it only for
+    benchmarking/attribution.
     """
     keep_i16 = input_transfer == "int16"
-    eeg = np.asarray(eeg_array)
-    emg = np.asarray(emg_array)
-    if not (keep_i16 and eeg.dtype == np.int16):
-        eeg = np.asarray(eeg, dtype=np.float32)
-    if not (keep_i16 and emg.dtype == np.int16):
-        emg = np.asarray(emg, dtype=np.float32)
+
+    def _as_input(x):
+        """Device arrays stay on device (a host round-trip here costs
+        ~1 GB each way at study scale); host inputs normalize to f32
+        numpy, or pass through as int16 ADC counts when requested."""
+        if isinstance(x, jax.Array) and not isinstance(x, np.ndarray):
+            return x if x.dtype == jnp.float32 else x.astype(jnp.float32)
+        x = np.asarray(x)
+        if not (keep_i16 and x.dtype == np.int16):
+            x = np.asarray(x, dtype=np.float32)
+        return x
+
+    eeg = _as_input(eeg_array)
+    emg = _as_input(emg_array)
     if eeg.ndim != 2 or emg.ndim != 2:
         raise ValueError("EEG/EMG arrays must be 2D")
     if eeg_axis == 1:
@@ -308,7 +325,7 @@ def multitaper_msc(
 
     # frame only the active windows (compact), then scatter to the full grid
     def _upload(x):
-        if input_transfer == "int16":
+        if input_transfer == "int16" and not isinstance(x, jax.Array):
             if x.dtype != np.int16:
                 # per-channel peak scaling: cancels exactly in coherence
                 # (native SIMD quantizer, bit-identical numpy fallback)
@@ -317,8 +334,17 @@ def multitaper_msc(
             return jnp.asarray(x).astype(jnp.float32)   # cast on device
         return jnp.asarray(x)
 
+    timings: dict | None = {} if collect_timings else None
+    if collect_timings:
+        from mba_tpu.utils.profiling import hard_sync
+        t0 = time.perf_counter()
     eeg_j = _upload(eeg)
     emg_j = _upload(emg)
+    if timings is not None:
+        hard_sync(eeg_j, emg_j)
+        timings["upload_sec"] = round(time.perf_counter() - t0, 3)
+        timings["upload_bytes"] = int(eeg_j.nbytes + emg_j.nbytes)
+        t0 = time.perf_counter()
 
     if n_active > 0:
         # pad active starts to a chunk multiple (extra windows recompute the
@@ -347,9 +373,17 @@ def multitaper_msc(
                 device_out = call(use_pallas=False)
         else:
             device_out = call(use_pallas=False)
+        if timings is not None:
+            hard_sync(device_out)
+            timings["compute_sec"] = round(time.perf_counter() - t0, 3)
+            t0 = time.perf_counter()
         # single host download per output array
         compact = {key: np.asarray(val, dtype=np.float32)[:n_active]
                    for key, val in device_out.items()}
+        if timings is not None:
+            timings["download_sec"] = round(time.perf_counter() - t0, 3)
+            timings["download_bytes"] = int(
+                sum(v.nbytes for v in device_out.values()))
     else:
         shape_tail = (n_freqs, n_eeg) if aggregate_emg_max \
             else (n_freqs, n_eeg, n_emg)
@@ -383,6 +417,11 @@ def multitaper_msc(
     if use_jackknife:
         result["coherence_ci_lower"] = full["ci_lower"]
         result["coherence_ci_upper"] = full["ci_upper"]
+    if timings is not None:
+        timings.setdefault("compute_sec", 0.0)
+        timings.setdefault("download_sec", 0.0)
+        timings.setdefault("download_bytes", 0)
+        result["timings"] = timings
 
     if apply_independence_threshold:
         n_comp = n_eeg * n_emg

@@ -119,8 +119,16 @@ def _qrs_periodicity(source: np.ndarray, fs: float) -> float:
 
 
 def component_features(source: np.ndarray, topo: np.ndarray, fs: float,
-                       frontal_idx: list[int]) -> dict:
-    """Per-component evidence features (see module docstring)."""
+                       frontal_idx: list[int],
+                       override_kurtosis: float | None = None,
+                       override_abs_skew: float | None = None) -> dict:
+    """Per-component evidence features (see module docstring).
+
+    ``override_kurtosis`` / ``override_abs_skew`` replace the
+    full-signal moments — the device-resident label path computes them
+    on the accelerator over the complete recording and ships only the
+    spectral-feature segment to the host (ops/ica.py:label_components).
+    """
     src = np.asarray(source, np.float64)
     n = len(src)
     n_use = min(n, int(120 * fs))               # cap spectral cost
@@ -172,9 +180,13 @@ def component_features(source: np.ndarray, topo: np.ndarray, fs: float,
         "spectral_slope": _spectral_slope(freqs, power),
         "hf_ratio": hf_ratio,
         "above20_frac": above20_frac,
-        "kurtosis": float(np.mean(((src - src.mean()) / sd) ** 4) - 3.0),
+        "kurtosis": (float(override_kurtosis)
+                     if override_kurtosis is not None else
+                     float(np.mean(((src - src.mean()) / sd) ** 4) - 3.0)),
         "qrs_kurtosis": qrs_kurtosis,
-        "abs_skew": float(abs(np.mean(((src - src.mean()) / sd) ** 3))),
+        "abs_skew": (float(override_abs_skew)
+                     if override_abs_skew is not None else
+                     float(abs(np.mean(((src - src.mean()) / sd) ** 3)))),
         "qrs_score": _qrs_periodicity(qrs_sig, fs),
     }
 
@@ -208,13 +220,19 @@ def class_scores(feats: dict, n_ch: int) -> dict:
 
 def classify_components(sources: np.ndarray, mixing: np.ndarray, fs: float,
                         channel_names: list[str] | None = None,
-                        artifact_threshold: float = 0.5) -> dict:
+                        artifact_threshold: float = 0.5,
+                        full_moments: dict | None = None) -> dict:
     """Label every IC with the ICLabel vocabulary.
 
     sources : (n_samples, n_components); mixing : (n_channels,
     n_components) scalp projections; returns the mne-icalabel-shaped
     contract {'labels': [...], 'y_pred_proba': [...]} plus the full
     per-class score table under 'scores' and features under 'features'.
+
+    ``full_moments``: optional {'kurtosis': (n_comp,), 'abs_skew':
+    (n_comp,)} arrays computed externally over the complete recording
+    (device-resident path) — ``sources`` may then be just the leading
+    spectral-feature segment.
     """
     n_comp = sources.shape[1]
     n_ch = mixing.shape[0]
@@ -225,8 +243,12 @@ def classify_components(sources: np.ndarray, mixing: np.ndarray, fs: float,
 
     labels, probas, all_scores, all_feats = [], [], [], []
     for k in range(n_comp):
-        feats = component_features(sources[:, k], mixing[:, k], fs,
-                                   frontal_idx)
+        feats = component_features(
+            sources[:, k], mixing[:, k], fs, frontal_idx,
+            override_kurtosis=(full_moments["kurtosis"][k]
+                               if full_moments else None),
+            override_abs_skew=(full_moments["abs_skew"][k]
+                               if full_moments else None))
         scores = class_scores(feats, n_ch)
         best = max(scores, key=scores.get)
         if scores[best] >= artifact_threshold:

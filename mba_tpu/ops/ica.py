@@ -115,6 +115,19 @@ def _project(x, mean, proj_t):
     return (x - mean) @ proj_t.T
 
 
+@jax.jit
+def _source_moments(src):
+    """Per-column excess kurtosis and |skewness| (device reduction).
+
+    Matches the host formulas in ``ic_classify.component_features``
+    (z-scored central moments with a +1e-20 σ guard)."""
+    mu = src.mean(axis=0, keepdims=True)
+    sd = src.std(axis=0, keepdims=True) + 1e-20
+    z = (src - mu) / sd
+    return (jnp.mean(z ** 4, axis=0) - 3.0,
+            jnp.abs(jnp.mean(z ** 3, axis=0)))
+
+
 class InfomaxICA:
     """Extended-Infomax ICA with PCA whitening (MNE-equivalent role).
 
@@ -230,6 +243,23 @@ def label_components(ica: InfomaxICA, data: np.ndarray, fs: float,
     """
     from mba_tpu.ops.ic_classify import classify_components
 
-    sources = ica.get_sources(data)
-    out = classify_components(sources, ica.mixing_, fs, channel_names)
+    if isinstance(data, jax.Array):
+        # device-resident path: sources are projected on device; the host
+        # receives only the 120-s spectral-feature segment (the
+        # classifier's spectral cost cap) plus the per-component
+        # full-length moments — ~25 MB instead of the ~700 MB full
+        # source download at study scale (28 min × 25 components)
+        src_d = _project(jnp.asarray(data, jnp.float32),
+                         jnp.asarray(ica._mean, jnp.float32),
+                         jnp.asarray(ica.unmixing_, jnp.float32))
+        n_use = min(src_d.shape[0], int(120 * fs))
+        kurt_d, skew_d = _source_moments(src_d)
+        seg = np.asarray(src_d[:n_use], np.float64)
+        moments = {"kurtosis": np.asarray(kurt_d, np.float64),
+                   "abs_skew": np.asarray(skew_d, np.float64)}
+        out = classify_components(seg, ica.mixing_, fs, channel_names,
+                                  full_moments=moments)
+    else:
+        sources = ica.get_sources(data)
+        out = classify_components(sources, ica.mixing_, fs, channel_names)
     return {'y_pred_proba': out['y_pred_proba'], 'labels': out['labels']}

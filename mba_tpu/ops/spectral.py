@@ -83,12 +83,19 @@ def multitaper_psd(input_array,
                    axis: Literal[0, 1] | None = None,
                    apply_log_scale: bool = True,
                    window_chunk: int = 128,
+                   device_output: bool = False,
                    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Sliding-window DPSS multitaper PSD.
 
     Returns ``(spectrograms, time_centers, freqs)`` with
     ``spectrograms.shape == (n_windows, n_freqs, n_channels)`` exactly as the
     reference (signal_features.py:433).
+
+    ``device_output=True`` leaves the spectrogram on the accelerator as a
+    ``jax.Array`` (time_centers/freqs stay host numpy) — at study scale
+    the (windows, freqs, channels) tensor is ~0.9 GB, so consumers that
+    reduce on device (band power, task masks) should not pay the
+    host download.
     """
     x = jnp.asarray(input_array, dtype=jnp.float32)
     if x.ndim == 1:
@@ -117,6 +124,8 @@ def multitaper_psd(input_array,
         lambda f: _mt_psd_kernel(f, tapers, onesided, inv_fs_n,
                                  apply_log_scale),
         [frames], chunk=min(window_chunk, max(1, frames.shape[0])))
+    if device_output:
+        return spectrograms, time_centers, freqs
     return np.asarray(spectrograms), time_centers, freqs
 
 

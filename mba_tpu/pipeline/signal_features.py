@@ -153,12 +153,17 @@ def multitaper_psd(input_array, sampling_freq: float, nw: float = 3,
                    axis: Literal[0, 1] | None = None,
                    apply_log_scale: bool = True,
                    psd_save_dir: str | Path | None = None,
-                   psd_file_suffix: str = "", **_ignored):
-    """DPSS multitaper sliding-window PSD (TPU kernel, reference :80-454)."""
+                   psd_file_suffix: str = "", device_output: bool = False,
+                   **_ignored):
+    """DPSS multitaper sliding-window PSD (TPU kernel, reference :80-454).
+
+    ``device_output=True`` keeps the spectrogram on the accelerator (the
+    save path, if requested, still downloads it once)."""
     spectrograms, time_centers, freqs = _multitaper_psd_op(
         input_array, sampling_freq, nw=nw,
         window_length_sec=window_length_sec, overlap_frac=overlap_frac,
-        axis=axis, apply_log_scale=apply_log_scale)
+        axis=axis, apply_log_scale=apply_log_scale,
+        device_output=device_output)
     if psd_save_dir is not None:
         save_spectrograms(spectrograms, time_centers, freqs, "PSD",
                           save_dir=psd_save_dir,
@@ -264,6 +269,7 @@ def compute_task_wise_aggregated_cmc(
         window_mask: np.ndarray | None = None,
         task_latency_assumption_sec: float = 3.25,
         task_end_cutoff_sec: float = 2.0,
+        timings_out: dict | None = None,
 ) -> tuple:
     """EMG-max-aggregated task-selective CMC (reference :898-1026).
 
@@ -311,7 +317,10 @@ def compute_task_wise_aggregated_cmc(
         significance_level=independence_threshold_alpha,
         apply_independence_threshold=enforce_independence_threshold,
         use_jackknife=use_jackknife, jackknife_alpha=jackknife_alpha,
-        window_mask=window_mask, aggregate_emg_max=fuse, verbose=True)
+        window_mask=window_mask, aggregate_emg_max=fuse, verbose=True,
+        collect_timings=timings_out is not None)
+    if timings_out is not None:
+        timings_out.update(output.get('timings', {}))
 
     time_centers = output['time_centers']
     freqs = output['freqs']

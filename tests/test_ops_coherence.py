@@ -328,3 +328,29 @@ class TestPallasEpilogue:
                              **kw)
         np.testing.assert_allclose(raw["coherence_raw"],
                                    full["coherence_raw"], atol=1e-5)
+
+
+class TestDeviceInputsAndTimings:
+    def test_device_inputs_match_host_inputs(self):
+        """jax.Array inputs stay on device (no host round-trip) and give
+        identical results to numpy inputs."""
+        import jax.numpy as jnp
+        eeg, emg = _coupled_signals()
+        host = multitaper_msc(eeg, emg, 256, window_length_sec=1.0)
+        dev = multitaper_msc(jnp.asarray(eeg, jnp.float32),
+                             jnp.asarray(emg, jnp.float32), 256,
+                             window_length_sec=1.0)
+        np.testing.assert_allclose(dev["coherence_raw"],
+                                   host["coherence_raw"],
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_collect_timings(self):
+        eeg, emg = _coupled_signals()
+        res = multitaper_msc(eeg, emg, 256, collect_timings=True)
+        tm = res["timings"]
+        for key in ("upload_sec", "upload_bytes", "compute_sec",
+                    "download_sec", "download_bytes"):
+            assert key in tm, key
+        assert tm["download_bytes"] > 0
+        # off by default
+        assert "timings" not in multitaper_msc(eeg, emg, 256)

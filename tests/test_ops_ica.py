@@ -182,3 +182,30 @@ class TestLabeling:
         ica = InfomaxICA(n_components=3, max_iter=300).fit(x)
         out = label_components(ica, x, fs, channel_names=channels)
         assert 'eye blink' in out['labels']
+
+    def test_device_label_path_matches_host(self):
+        """label_components with a device-resident input (on-device
+        source projection + moments, 120-s spectral segment) must agree
+        with the host path — exercised on a >120 s recording so the
+        segment truncation actually differs from the full signal."""
+        import jax
+        import jax.numpy as jnp
+        fs = 64  # keep n moderate while exceeding the 120-s cap
+        rng = np.random.default_rng(5)
+        n = fs * 150
+        t = np.arange(n) / fs
+        ecg = np.zeros(n)
+        for beat in range(0, n - fs, int(0.8 * fs)):
+            ecg[beat:beat + fs // 12] += np.hanning(fs // 12) * 4
+        sources = np.stack([np.sin(2 * np.pi * 9 * t), ecg,
+                            rng.laplace(size=n)], axis=1)
+        sources /= sources.std(axis=0) + 1e-12
+        mixing = rng.standard_normal((6, 3))
+        x = (sources @ mixing.T
+             + 0.05 * rng.standard_normal((n, 6))).astype(np.float32)
+        ica = InfomaxICA(n_components=3, max_iter=300).fit(x)
+        host = label_components(ica, x, fs)
+        dev = label_components(ica, jnp.asarray(x), fs)
+        assert host['labels'] == dev['labels']
+        np.testing.assert_allclose(host['y_pred_proba'],
+                                   dev['y_pred_proba'], atol=5e-3)

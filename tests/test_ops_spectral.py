@@ -132,3 +132,16 @@ class TestAmplitudeSpectrum:
         peak = freqs[np.argmax(amp[:, 0])]
         assert peak == pytest.approx(16.0, abs=0.3)
         assert amp.max() == pytest.approx(2.5, rel=1e-3)
+
+
+class TestDeviceOutput:
+    def test_psd_device_output_matches_host(self):
+        import jax
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((1024, 3)).astype(np.float32)
+        host, tc_h, fr_h = multitaper_psd(x, 256.0, axis=0)
+        dev, tc_d, fr_d = multitaper_psd(x, 256.0, axis=0,
+                                         device_output=True)
+        assert isinstance(dev, jax.Array)
+        np.testing.assert_allclose(np.asarray(dev), host, rtol=1e-6)
+        np.testing.assert_allclose(tc_d, tc_h)

@@ -267,18 +267,42 @@ def main():
         del eeg
 
         # ── stage 3: feature extraction ───────────────────────────────
+        # compute stays device-resident; the host download of the big
+        # result tensors (the dominant cost on this tunneled link) and
+        # the disk save are timed separately so the JSON attributes
+        # link-bandwidth weather vs actual TPU compute
+        detail = {}
         feat_dir = work / "features"
         feat_dir.mkdir()
         t0 = time.perf_counter()
+        psd_outs = []
         for modality, arr in (("eeg", eeg_clean),
                               ("emg_1_flexor", emg1_clean),
                               ("emg_2_extensor", emg2_clean)):
-            features.multitaper_psd(
+            psd_outs.append((modality,) + features.multitaper_psd(
                 arr, FS, nw=3, window_length_sec=PSD_WINDOW_SEC,
                 overlap_frac=0.5, axis=0, apply_log_scale=True,
-                psd_save_dir=feat_dir, psd_file_suffix=modality)
-        t_psd = time.perf_counter() - t0
+                device_output=True))
+        hard_sync([s for _, s, _, _ in psd_outs])
+        t_psd_comp = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        psd_hosts = [(m, np.asarray(s), tc_, fr_)
+                     for m, s, tc_, fr_ in psd_outs]
+        t_psd_down = time.perf_counter() - t0
+        psd_mb = sum(s.nbytes for _, s, _, _ in psd_hosts) / 1e6
+        t0 = time.perf_counter()
+        for m, s, tc_, fr_ in psd_hosts:
+            features.save_spectrograms(s, tc_, fr_, "PSD",
+                                       save_dir=feat_dir,
+                                       identifier_suffix=m)
+        t_psd_save = time.perf_counter() - t0
+        t_psd = t_psd_comp + t_psd_down + t_psd_save
         stages["s3_psd_sec"] = round(t_psd, 2)
+        detail["s3_psd_compute"] = round(t_psd_comp, 2)
+        detail["s3_psd_download"] = round(t_psd_down, 2)
+        detail["s3_psd_download_mb"] = round(psd_mb, 0)
+        detail["s3_psd_save"] = round(t_psd_save, 2)
+        del psd_outs, psd_hosts
 
         ws = int(WINDOW_SEC * FS)
         hop = ws // 2
@@ -292,12 +316,15 @@ def main():
         cmc_results = {}
         for muscle, arr in (("flexor", emg1_clean),
                             ("extensor", emg2_clean)):
+            tm = {}
             cmc_results[muscle] = features.compute_task_wise_aggregated_cmc(
                 eeg_clean, arr, int(FS), muscle_group=muscle,
                 eeg_channel_subset=CMC_EEG_CHANNEL_SUBSET,
                 window_size_sec=WINDOW_SEC, window_overlap_ratio=0.5,
                 use_jackknife=True, save_dir=feat_dir,
-                window_mask=window_mask)
+                window_mask=window_mask, timings_out=tm)
+            for k, v in tm.items():
+                detail[f"s3_cmc_{muscle}_{k}"] = v
         t_cmc = time.perf_counter() - t0
         stages["s3_cmc_sec"] = round(t_cmc, 2)
         n_active = int(window_mask.sum())
@@ -409,6 +436,7 @@ def main():
             "task_signal_min": round(N_TRIALS * TRIAL_SEC / 60, 1),
             "n_eeg": N_EEG, "n_emg": N_EMG, "n_ica_components": N_ICA,
             "stages": stages,
+            "stage_detail": detail,
             "cpu_denominators": denominators,
             "ica_speedup_vs_cpu": round(
                 denominators["s2_ica_cpu_sec_extrapolated"]
