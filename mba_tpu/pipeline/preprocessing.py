@@ -589,6 +589,29 @@ class BiosignalPreprocessor:
         self._output_data = self.np_denoised_data
         return self._output_data
 
+    def free_intermediate_stages(self) -> np.ndarray:
+        """Materialize ``np_output_data``, then drop every cached
+        intermediate stage array.
+
+        In ``device_resident`` mode each cached stage pins a full
+        recording-sized buffer in HBM (~0.9 GB at 28 min × 64 ch ×
+        2048 Hz); a study-scale cascade holds five to six of them, which
+        starves downstream feature extraction.  Call this once the
+        cascade output is all a consumer needs: the output (and the
+        small diagnostics — bad channels/annotations, ICA solution,
+        labels) survive, and any intermediate requested later is
+        recomputed lazily from the retained input.  Returns the output.
+        """
+        out = self.np_output_data
+        self._filtered_data = None
+        self._referenced_data = None
+        self._amplitude_compliant_data = None
+        self._artefact_free_data = None
+        self._spatially_filtered_data = None
+        self._denoised_data = None
+        self._output_data = out
+        return out
+
     # ------------------------------------------------------------------
     # invalidation truth table (reference :1001-1110)
     # ------------------------------------------------------------------

@@ -289,3 +289,24 @@ class TestDeviceResidentCascade:
         # intermediate stages live on device
         assert isinstance(dev.np_filtered_data, jax.Array)
         assert isinstance(dev.np_artefact_free_data, jax.Array)
+
+    def test_free_intermediate_stages(self):
+        """Freeing drops cached stage buffers, keeps the output object,
+        and later intermediate requests recompute to the same values."""
+        import jax.numpy as jnp
+        x = _eeg_like(seconds=12, n_ch=5)
+        p = BiosignalPreprocessor(
+            jnp.asarray(x, jnp.float32), 256, 'eeg', n_ica_components=3,
+            automatic_ic_labelling=True, wavelet_type=None,
+            amplitude_rejection_threshold=3e-4, device_resident=True)
+        filt_before = np.asarray(p.np_filtered_data)
+        out = p.free_intermediate_stages()
+        assert out is p.np_output_data          # no recompute after free
+        for attr in ('_filtered_data', '_referenced_data',
+                     '_amplitude_compliant_data', '_artefact_free_data',
+                     '_spatially_filtered_data', '_denoised_data'):
+            assert getattr(p, attr) is None
+        # diagnostics survive, intermediates recompute identically
+        assert p.ica_result is not None
+        np.testing.assert_allclose(np.asarray(p.np_filtered_data),
+                                   filt_before, rtol=1e-6, atol=0)

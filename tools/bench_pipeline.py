@@ -265,6 +265,11 @@ def main():
             f"{denominators['s2_filter_cpu_sec_extrapolated']}s, ICA "
             f"{denominators['s2_ica_cpu_sec_extrapolated']}s")
         del eeg
+        # the cascade caches every stage on-device in device_resident
+        # mode (~0.9 GB each at this scale, ~6 stages); release them so
+        # stage 3's spectrograms have HBM to land in
+        prep.free_intermediate_stages()
+        del prep, ica
 
         # ── stage 3: feature extraction ───────────────────────────────
         # compute stays device-resident; the host download of the big
@@ -274,35 +279,38 @@ def main():
         detail = {}
         feat_dir = work / "features"
         feat_dir.mkdir()
-        t0 = time.perf_counter()
-        psd_outs = []
+        # one modality at a time: a study-scale device spectrogram is
+        # ~0.9 GB; keeping all three resident alongside the cleaned
+        # recordings exhausts HBM
+        t_psd_comp = t_psd_down = t_psd_save = 0.0
+        psd_mb = 0.0
         for modality, arr in (("eeg", eeg_clean),
                               ("emg_1_flexor", emg1_clean),
                               ("emg_2_extensor", emg2_clean)):
-            psd_outs.append((modality,) + features.multitaper_psd(
+            t0 = time.perf_counter()
+            s_dev, tc_, fr_ = features.multitaper_psd(
                 arr, FS, nw=3, window_length_sec=PSD_WINDOW_SEC,
                 overlap_frac=0.5, axis=0, apply_log_scale=True,
-                device_output=True))
-        hard_sync([s for _, s, _, _ in psd_outs])
-        t_psd_comp = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        psd_hosts = [(m, np.asarray(s), tc_, fr_)
-                     for m, s, tc_, fr_ in psd_outs]
-        t_psd_down = time.perf_counter() - t0
-        psd_mb = sum(s.nbytes for _, s, _, _ in psd_hosts) / 1e6
-        t0 = time.perf_counter()
-        for m, s, tc_, fr_ in psd_hosts:
-            features.save_spectrograms(s, tc_, fr_, "PSD",
+                device_output=True)
+            hard_sync(s_dev)
+            t_psd_comp += time.perf_counter() - t0
+            t0 = time.perf_counter()
+            s_host = np.asarray(s_dev)
+            t_psd_down += time.perf_counter() - t0
+            psd_mb += s_host.nbytes / 1e6
+            del s_dev
+            t0 = time.perf_counter()
+            features.save_spectrograms(s_host, tc_, fr_, "PSD",
                                        save_dir=feat_dir,
-                                       identifier_suffix=m)
-        t_psd_save = time.perf_counter() - t0
+                                       identifier_suffix=modality)
+            t_psd_save += time.perf_counter() - t0
+            del s_host
         t_psd = t_psd_comp + t_psd_down + t_psd_save
         stages["s3_psd_sec"] = round(t_psd, 2)
         detail["s3_psd_compute"] = round(t_psd_comp, 2)
         detail["s3_psd_download"] = round(t_psd_down, 2)
         detail["s3_psd_download_mb"] = round(psd_mb, 0)
         detail["s3_psd_save"] = round(t_psd_save, 2)
-        del psd_outs, psd_hosts
 
         ws = int(WINDOW_SEC * FS)
         hop = ws // 2
