@@ -470,7 +470,7 @@ def run_cbpa(cfg: CBPAConfig,
     t_obs, clusters, cluster_pv, H0 = cluster_permutation_1samp_test(
         X, adjacency, n_permutations=cfg.n_permutations,
         threshold=t_thresh, tail=cfg.tail, seed=cfg.seed,
-        permutation_chunk=min(cfg.n_permutations, 4096))
+        permutation_chunk=min(cfg.n_permutations, 256))
 
     alpha_cbpa = 0.05
     good_cluster_inds = np.where(np.asarray(cluster_pv) < alpha_cbpa)[0]
