@@ -238,7 +238,12 @@ def multitaper_msc(
     device before download.  All arithmetic stays float32; coherence
     values lie in [0, 1] so the f16 rounding error is ≤ ~5e-4 — and the
     download, which dominates wall time on bandwidth-limited links,
-    halves.  ``None`` (default) keeps float32 end to end.
+    halves.  ``np.int16`` / ``np.int8`` instead route through the
+    affine per-lane quantized download (``utils/transfer.py``): same
+    halving/quartering of the link bytes, but tighter error for [0, 1]
+    coherence (int16 ≤ ~8e-6 vs f16's 5e-4) because the integer grid is
+    fitted to the per-lane value range rather than spending exponent
+    bits.  ``None`` (default) keeps float32 end to end.
 
     ``input_transfer='int16'`` quantizes each channel to int16 on the
     host (per-channel max scaling) and uploads half the bytes; the cast
@@ -359,11 +364,17 @@ def multitaper_msc(
         # v5e by tools/bench_pallas_ab.py)
         want_pallas = (use_jackknife and aggregate_emg_max
                        and _pallas_available())
+        # int16/int8 transfer_dtype = affine per-lane quantized download
+        # (utils/transfer.py): keep f32 in the kernel, compress the link
+        quantized_td = (transfer_dtype is not None
+                        and np.dtype(transfer_dtype) in
+                        (np.dtype(np.int16), np.dtype(np.int8)))
         call = functools.partial(
             _msc_all_windows, eeg_j, emg_j,
             jnp.asarray(starts_padded, jnp.int32), tapers_j, inv_fs_n,
             t_crit, window_samples, chunk, use_jackknife,
-            aggregate_emg_max, transfer_dtype=transfer_dtype)
+            aggregate_emg_max,
+            transfer_dtype=None if quantized_td else transfer_dtype)
         if want_pallas:
             try:
                 device_out = call(use_pallas=True)
@@ -378,12 +389,21 @@ def multitaper_msc(
             timings["compute_sec"] = round(time.perf_counter() - t0, 3)
             t0 = time.perf_counter()
         # single host download per output array
-        compact = {key: np.asarray(val, dtype=np.float32)[:n_active]
-                   for key, val in device_out.items()}
+        if quantized_td:
+            from mba_tpu.utils.transfer import download_quantized
+            compact, dl_bytes = {}, 0
+            for key, val in device_out.items():
+                host, n_bytes, _ = download_quantized(
+                    val, np.dtype(transfer_dtype))
+                compact[key] = host[:n_active]
+                dl_bytes += n_bytes
+        else:
+            compact = {key: np.asarray(val, dtype=np.float32)[:n_active]
+                       for key, val in device_out.items()}
+            dl_bytes = int(sum(v.nbytes for v in device_out.values()))
         if timings is not None:
             timings["download_sec"] = round(time.perf_counter() - t0, 3)
-            timings["download_bytes"] = int(
-                sum(v.nbytes for v in device_out.values()))
+            timings["download_bytes"] = dl_bytes
     else:
         shape_tail = (n_freqs, n_eeg) if aggregate_emg_max \
             else (n_freqs, n_eeg, n_emg)

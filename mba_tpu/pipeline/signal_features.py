@@ -270,6 +270,7 @@ def compute_task_wise_aggregated_cmc(
         task_latency_assumption_sec: float = 3.25,
         task_end_cutoff_sec: float = 2.0,
         timings_out: dict | None = None,
+        transfer_dtype=None,
 ) -> tuple:
     """EMG-max-aggregated task-selective CMC (reference :898-1026).
 
@@ -277,6 +278,10 @@ def compute_task_wise_aggregated_cmc(
     are skipped (zeros).  The EMG-channel max with CI-aligned indices is
     fused into the TPU kernel unless the independence-threshold masking is
     requested (which the reference applies to the un-aggregated tensor).
+
+    ``transfer_dtype`` forwards to :func:`multitaper_msc` — ``np.int16``
+    downloads the coherence/CI tensors as per-lane quantized integers
+    (≤ ~8e-6 abs error on [0, 1] values) at half the link bytes.
     """
     if eeg_channel_subset:
         inds = [EEG_CHANNEL_IND_DICT[ch] for ch in eeg_channel_subset]
@@ -318,7 +323,8 @@ def compute_task_wise_aggregated_cmc(
         apply_independence_threshold=enforce_independence_threshold,
         use_jackknife=use_jackknife, jackknife_alpha=jackknife_alpha,
         window_mask=window_mask, aggregate_emg_max=fuse, verbose=True,
-        collect_timings=timings_out is not None)
+        collect_timings=timings_out is not None,
+        transfer_dtype=transfer_dtype)
     if timings_out is not None:
         timings_out.update(output.get('timings', {}))
 

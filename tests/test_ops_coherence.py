@@ -290,6 +290,33 @@ class TestPallasEpilogue:
                                    full["coherence_ci_upper"],
                                    atol=6e-4)
 
+    def test_transfer_dtype_int16_quantized_download(self):
+        """int16 transfer_dtype = affine per-lane quantized download:
+        half the f16 bytes' error budget at the same byte count (the
+        grid is fitted to the per-lane range) and masked windows stay
+        exact zeros through the dequant."""
+        from mba_tpu.ops.coherence import multitaper_msc
+        rng = np.random.default_rng(2)
+        fs, n = 256.0, 256 * 6
+        eeg = rng.standard_normal((n, 4)).astype(np.float32)
+        emg = rng.standard_normal((n, 2)).astype(np.float32)
+        mask = np.array([1, 0, 1, 1, 0, 1, 1, 1, 1, 1, 1], bool)
+        kw = dict(nw=3, window_length_sec=1.0, use_jackknife=True,
+                  apply_independence_threshold=False, window_mask=mask,
+                  collect_timings=True)
+        full = multitaper_msc(eeg, emg, fs, **kw)
+        q16 = multitaper_msc(eeg, emg, fs, transfer_dtype=np.int16, **kw)
+        assert q16["coherence_raw"].dtype == np.float32
+        for key in ("coherence_raw", "coherence_ci_lower",
+                    "coherence_ci_upper"):
+            np.testing.assert_allclose(q16[key], full[key], atol=1e-4,
+                                       err_msg=key)
+        # masked windows exact zeros (scattered on host after dequant)
+        assert np.all(q16["coherence_raw"][~mask] == 0.0)
+        # the link payload halves (plus tiny per-lane sidecars)
+        assert q16["timings"]["download_bytes"] \
+            < 0.52 * full["timings"]["download_bytes"]
+
     def test_input_transfer_int16_quantization(self):
         """Per-channel int16 upload: coherence is scale-invariant per
         channel, so quantization (≤2^-15 of each channel's peak) must

@@ -1,0 +1,74 @@
+"""Quantized device→host download (utils/transfer.py)."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from mba_tpu.utils.transfer import download_quantized
+
+
+class TestDownloadQuantized:
+    def _spectrogram_like(self, seed=0):
+        # log10-PSD-shaped values: per-channel offsets + ~30 log-unit span
+        rng = np.random.default_rng(seed)
+        x = rng.uniform(-18.0, 8.0, size=(40, 257, 8)).astype(np.float32)
+        x += rng.uniform(-5, 5, size=(1, 1, 8)).astype(np.float32)
+        return x
+
+    def test_int16_error_bound_holds(self):
+        x = self._spectrogram_like()
+        host, n_bytes, bound = download_quantized(jnp.asarray(x), np.int16)
+        assert host.shape == x.shape and host.dtype == np.float32
+        measured = np.abs(host - x).max()
+        assert measured <= bound * 1.02
+        # 36-log-unit worst-case span / 65535 / 2 ≈ 2.8e-4
+        assert bound < 5e-4
+
+    def test_int8_error_bound_holds(self):
+        x = self._spectrogram_like(1)
+        host, n_bytes, bound = download_quantized(jnp.asarray(x), np.int8)
+        assert np.abs(host - x).max() <= bound * 1.02
+        assert bound < 0.1        # 36/255/2 ≈ 0.07 log units
+
+    def test_bytes_roughly_halved(self):
+        x = self._spectrogram_like(2)
+        _, n16, _ = download_quantized(jnp.asarray(x), np.int16)
+        _, n32, _ = download_quantized(jnp.asarray(x), None)
+        assert n32 == x.nbytes
+        assert n16 < 0.51 * n32
+        _, n8, _ = download_quantized(jnp.asarray(x), np.int8)
+        assert n8 < 0.26 * n32
+
+    def test_per_channel_isolation(self):
+        # one huge-range channel must not degrade the others
+        rng = np.random.default_rng(3)
+        x = rng.uniform(0.0, 1.0, size=(64, 128, 4)).astype(np.float32)
+        x[..., 3] *= 1e4
+        host, _, _ = download_quantized(jnp.asarray(x), np.int16)
+        # channels 0-2 keep coherence-grade precision
+        assert np.abs(host[..., :3] - x[..., :3]).max() < 1e-4
+
+    def test_extremes_exact(self):
+        # per-channel min and max must round-trip exactly (affine endpoints)
+        rng = np.random.default_rng(4)
+        x = rng.standard_normal((100, 16, 3)).astype(np.float32)
+        host, _, _ = download_quantized(jnp.asarray(x), np.int16)
+        np.testing.assert_allclose(
+            host.max(axis=(0, 1)), x.max(axis=(0, 1)), rtol=1e-6)
+        np.testing.assert_allclose(
+            host.min(axis=(0, 1)), x.min(axis=(0, 1)), rtol=1e-6)
+
+    def test_constant_channel(self):
+        x = np.full((10, 5, 2), 3.25, np.float32)
+        host, _, bound = download_quantized(jnp.asarray(x), np.int16)
+        np.testing.assert_allclose(host, x, atol=1e-5)
+
+    def test_none_passthrough(self):
+        x = self._spectrogram_like(5)
+        host, n, bound = download_quantized(jnp.asarray(x), None)
+        np.testing.assert_array_equal(host, x)
+        assert bound == 0.0
+
+    def test_bad_dtype_raises(self):
+        with pytest.raises(ValueError):
+            download_quantized(jnp.zeros((4, 4)), np.float16)

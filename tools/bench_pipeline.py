@@ -147,6 +147,7 @@ def main():
     import jax
     from mba_tpu.io.otb4 import write_otb4, read_otb4
     from mba_tpu.utils.profiling import hard_sync
+    from mba_tpu.utils.transfer import download_quantized
     from mba_tpu.pipeline.preprocessing import BiosignalPreprocessor
     from mba_tpu.pipeline import signal_features as features
     from mba_tpu.pipeline.cbpa import CMC_EEG_CHANNEL_SUBSET
@@ -295,9 +296,16 @@ def main():
             hard_sync(s_dev)
             t_psd_comp += time.perf_counter() - t0
             t0 = time.perf_counter()
-            s_host = np.asarray(s_dev)
+            # per-lane int16 quantized download (utils/transfer.py):
+            # half the link bytes; ≤ ~2.5e-4 log10-unit error on the
+            # log-scaled spectrogram, ~0.06 % linear power — far below
+            # inter-window variance.  The tunneled link (~4-25 MB/s) is
+            # the stage's bottleneck, not the TPU compute.
+            s_host, n_bytes, q_err = download_quantized(s_dev, np.int16)
             t_psd_down += time.perf_counter() - t0
-            psd_mb += s_host.nbytes / 1e6
+            psd_mb += n_bytes / 1e6
+            detail[f"s3_psd_{modality}_quant_err_log10"] = float(
+                f"{q_err:.2e}")
             del s_dev
             t0 = time.perf_counter()
             features.save_spectrograms(s_host, tc_, fr_, "PSD",
@@ -330,7 +338,8 @@ def main():
                 eeg_channel_subset=CMC_EEG_CHANNEL_SUBSET,
                 window_size_sec=WINDOW_SEC, window_overlap_ratio=0.5,
                 use_jackknife=True, save_dir=feat_dir,
-                window_mask=window_mask, timings_out=tm)
+                window_mask=window_mask, timings_out=tm,
+                transfer_dtype=np.int16)
             for k, v in tm.items():
                 detail[f"s3_cmc_{muscle}_{k}"] = v
         t_cmc = time.perf_counter() - t0
@@ -418,8 +427,7 @@ def main():
              ).astype(np.float32)
         adj = combine_adjacency(n_t, delaunay_channel_adjacency(ch))
         cbpa_res = cluster_permutation_1samp_test(
-            X, adj, n_permutations=1024, tail=1,
-            permutation_chunk=1024)
+            X, adj, n_permutations=1024, tail=1)
         t_cbpa = time.perf_counter() - t0
         stages["s5_cbpa_sec"] = round(t_cbpa, 2)
 
