@@ -16,9 +16,14 @@ units) int16 gives ≤ 5e-4 log units ≈ 0.1 % linear power, far below
 inter-window statistical noise; for coherence values in [0, 1] the
 error is ≤ 1.6e-5.
 
-The upload direction is covered by the native per-channel quantizers in
-``mba_tpu/native`` (cohort_null.py's int16/int8 transfer legs); this
-module is their download-side complement.  No reference counterpart:
+:func:`upload_quantized` is the value-preserving upload-side mirror:
+per-channel peak int16/int8 on the host (native SIMD quantizer from
+``mba_tpu/native``), integer payload over the link, and an on-device
+dequant multiply that restores the original units (unlike the
+scale-cancelling MSC transfer legs in cohort_null.py, the restored
+values feed stages with absolute thresholds — e.g. the preprocessor's
+3 mV amplitude annotation — so the scales ride along).  Rounding error
+is ≤ 2^-15 (int16) of each channel's peak.  No reference counterpart:
 the reference (`src/pipeline/signal_features.py:1033-1100`) saves f32
 arrays from host RAM and never pays a device link.
 """
@@ -94,3 +99,49 @@ def download_quantized(x_dev, transfer_dtype=np.int16):
         + lo_host
     err_bound = 0.5 * float(scale_host.max())
     return host, n_bytes, err_bound
+
+
+@jax.jit
+def _dequant_on_device(q, scale):
+    return q.astype(jnp.float32) * scale
+
+
+def upload_quantized(x: np.ndarray, transfer_dtype=np.int16):
+    """Upload a host float array as per-channel peak-scaled integers.
+
+    Returns ``(x_dev_f32, n_bytes_uploaded, max_abs_err_bound)`` where
+    ``x_dev_f32`` is a device ``jax.Array`` restored to the input's
+    units (the per-channel scales upload alongside and the dequant
+    multiply runs on device), ``n_bytes_uploaded`` counts the integer
+    payload plus the scale sidecar, and ``max_abs_err_bound`` is half a
+    quantization step (≤ 2^-16 of the channel peak for int16), maxed
+    over channels.
+
+    Layout: ``(..., n_samples, n_channels)`` — per-(leading-dims,
+    channel) peaks, matching the native quantizer.  Symmetric peak
+    scaling (not affine) because biosignals are zero-centred; it keeps
+    the native SIMD path bit-compatible.  ``transfer_dtype=None``
+    falls through to a plain f32 ``device_put``.
+    """
+    x = np.asarray(x)
+    if transfer_dtype is None:
+        x = x.astype(np.float32, copy=False)
+        return jnp.asarray(x), x.nbytes, 0.0
+    td = np.dtype(transfer_dtype)
+    if td not in _INT_INFO:
+        raise ValueError(f"transfer_dtype must be int16/int8/None, got {td}")
+    full = 32767.0 if td == np.dtype(np.int16) else 127.0
+    from mba_tpu.native import (quantize_int16_per_channel,
+                                quantize_int8_per_channel)
+    quant = (quantize_int16_per_channel if td == np.dtype(np.int16)
+             else quantize_int8_per_channel)
+    xf = np.ascontiguousarray(x, dtype=np.float32)
+    peak = np.maximum(np.abs(xf).max(axis=-2, keepdims=True),
+                      np.float32(1e-30)).astype(np.float32)
+    q = quant(xf)
+    scale = peak / np.float32(full)
+    x_dev = _dequant_on_device(jnp.asarray(q), jnp.asarray(scale))
+    n_bytes = q.nbytes + scale.nbytes
+    # round-half-even ⇒ ≤ half a step; steps are peak/full per channel
+    err_bound = 0.5 * float(scale.max())
+    return x_dev, n_bytes, err_bound

@@ -1,10 +1,10 @@
-"""Quantized device→host download (utils/transfer.py)."""
+"""Quantized device↔host transfer (utils/transfer.py)."""
 import numpy as np
 import pytest
 
 import jax.numpy as jnp
 
-from mba_tpu.utils.transfer import download_quantized
+from mba_tpu.utils.transfer import download_quantized, upload_quantized
 
 
 class TestDownloadQuantized:
@@ -72,3 +72,48 @@ class TestDownloadQuantized:
     def test_bad_dtype_raises(self):
         with pytest.raises(ValueError):
             download_quantized(jnp.zeros((4, 4)), np.float16)
+
+
+class TestUploadQuantized:
+    def _recording(self, seed=0):
+        # mV-scaled biosignal-ish array with per-channel gains
+        rng = np.random.default_rng(seed)
+        x = rng.standard_normal((4096, 8)).astype(np.float32)
+        x *= rng.uniform(0.1, 10.0, size=8).astype(np.float32)
+        return x
+
+    def test_int16_units_preserved(self):
+        x = self._recording()
+        x_dev, n_bytes, bound = upload_quantized(x, np.int16)
+        host = np.asarray(x_dev)
+        assert host.dtype == np.float32 and host.shape == x.shape
+        # absolute units restored: error ≤ half a step of each channel
+        per_ch_bound = np.abs(x).max(axis=0) / 32767.0 * 0.5
+        err = np.abs(host - x).max(axis=0)
+        assert np.all(err <= per_ch_bound * 1.02)
+        assert np.abs(host - x).max() <= bound * 1.02
+        assert n_bytes < 0.51 * x.nbytes
+
+    def test_int8(self):
+        x = self._recording(1)
+        x_dev, n_bytes, bound = upload_quantized(x, np.int8)
+        assert np.abs(np.asarray(x_dev) - x).max() <= bound * 1.02
+        assert n_bytes < 0.26 * x.nbytes
+
+    def test_none_passthrough(self):
+        x = self._recording(2)
+        x_dev, n, bound = upload_quantized(x, None)
+        np.testing.assert_array_equal(np.asarray(x_dev), x)
+        assert n == x.nbytes and bound == 0.0
+
+    def test_amplitude_threshold_grade(self):
+        # the preprocessor's 3 mV annotation must see identical
+        # verdicts: quantization error is ~1e-4 of a 10 mV peak
+        rng = np.random.default_rng(3)
+        x = (rng.standard_normal((2048, 4)) * 0.5).astype(np.float32)
+        x[100:150, 2] = 5.0       # a clear amplitude violation
+        x_dev, _, bound = upload_quantized(x, np.int16)
+        assert bound < 1e-4
+        host = np.asarray(x_dev)
+        assert np.array_equal(np.abs(host).max(axis=0) > 3.0,
+                              np.abs(x).max(axis=0) > 3.0)
