@@ -29,9 +29,9 @@ import numpy as np
 import pandas as pd
 
 
-def _parse_tracks_xml(xml_path: str) -> list[dict]:
-    """Parse Tracks_000.xml into a list of per-track dicts (strings)."""
-    root = ET.parse(xml_path).getroot()
+def _parse_tracks_xml(xml_source) -> list[dict]:
+    """Parse Tracks_000.xml (path or file object) into per-track dicts."""
+    root = ET.parse(xml_source).getroot()
 
     def strip_ns(tag: str) -> str:
         return tag.split('}', 1)[-1]
@@ -72,28 +72,35 @@ def read_otb4(otb4_path: str | Path, verbose: bool = False) -> dict:
     if not os.path.exists(otb4_path):
         raise FileNotFoundError(f"OTB4 file not found: {otb4_path}")
 
-    tmp_dir = tempfile.mkdtemp(prefix=f"_tmp_otb4_{Path(otb4_path).stem}_")
+    # stream members straight out of the tar: extractall round-trips the
+    # full archive (1.7 GB at study scale) through disk before the first
+    # byte is parsed — twice the IO for nothing
     try:
-        try:
-            with tarfile.open(otb4_path, 'r') as tar:
-                tar.extractall(tmp_dir, filter='data')
-        except tarfile.ReadError:
-            raise FileNotFoundError(
-                f"Failed to extract {otb4_path}. File may be corrupted.")
+        tar = tarfile.open(otb4_path, 'r')
+    except tarfile.ReadError:
+        raise FileNotFoundError(
+            f"Failed to extract {otb4_path}. File may be corrupted.")
+    with tar:
+        by_base = {os.path.basename(m.name): m
+                   for m in tar.getmembers() if m.isfile()}
 
-        xml_files = [f for f in os.listdir(tmp_dir)
-                     if f.endswith('Tracks_000.xml')]
+        def _member_bytes(base_name: str) -> bytes:
+            fo = tar.extractfile(by_base[base_name])
+            return fo.read()
+
+        xml_files = [b for b in by_base if b.endswith('Tracks_000.xml')]
         if not xml_files:
             raise FileNotFoundError("No Tracks_000.xml found in archive.")
-        tracks = _parse_tracks_xml(os.path.join(tmp_dir, xml_files[0]))
+        import io as _io
+        tracks = _parse_tracks_xml(
+            _io.BytesIO(_member_bytes(xml_files[0])))
 
         device = tracks[0]['Device'].split(';')[0]
         n_channel = [int(t['NumberOfChannels']) for t in tracks]
         tot_ch = sum(n_channel)
         paths = [t['SignalStreamPath'] for t in tracks]
 
-        sig_files = sorted(f for f in os.listdir(tmp_dir)
-                           if f.endswith('.sig'))
+        sig_files = sorted(b for b in by_base if b.endswith('.sig'))
         if not sig_files:
             raise FileNotFoundError("No .sig files found in archive.")
 
@@ -107,8 +114,8 @@ def read_otb4(otb4_path: str | Path, verbose: bool = False) -> dict:
                         print(f"   Warning: No block found for {sig_name}")
                     continue
                 n_ch = sum(n_channel[j] for j in blocks)
-                raw = np.fromfile(os.path.join(tmp_dir, sig_name),
-                                  dtype=np.int32)
+                raw = np.frombuffer(_member_bytes(sig_name),
+                                    dtype=np.int32)
                 try:
                     data = raw.reshape((n_ch, -1), order='F').astype(
                         np.float32)
@@ -123,8 +130,8 @@ def read_otb4(otb4_path: str | Path, verbose: bool = False) -> dict:
                 fs = int(tracks[blocks[0]]['SamplingFrequency'])
                 signals.append((sig_name, data, fs))
         else:
-            raw = np.fromfile(os.path.join(tmp_dir, sig_files[0]),
-                              dtype=np.int16)
+            raw = np.frombuffer(_member_bytes(sig_files[0]),
+                                dtype=np.int16)
             if raw.size % tot_ch != 0:
                 raise ValueError(
                     f"Data size {raw.size} not divisible by channel count "
@@ -140,8 +147,6 @@ def read_otb4(otb4_path: str | Path, verbose: bool = False) -> dict:
 
         return {"device": device, "n_channels": tot_ch,
                 "track_info": tracks, "signals": signals}
-    finally:
-        shutil.rmtree(tmp_dir, ignore_errors=True)
 
 
 def write_otb4(otb4_path: str | Path, data: np.ndarray,
