@@ -259,11 +259,21 @@ def full_cohort_10k_null(n_subjects=12, n_surrogates=10_000):
 
     rng = np.random.default_rng(9)
     n = int(FS * SECONDS)
-    shared = rng.standard_normal(n).astype(np.float32)
-    eeg = np.stack([0.2 * shared[:, None]
+    # beta-band-limited shared drive (the physical CMC shape, like the
+    # study-scale config): a white shared drive at this amplitude has
+    # per-bin coherence far below the correctly-calibrated disjoint
+    # max-statistic's detection floor — the old white-drive assert only
+    # passed against the anti-conservative all-overlapping-windows null
+    f = np.fft.rfftfreq(n, 1 / FS)
+    sel = (f >= 15) & (f <= 30)
+    spec = np.zeros(len(f), np.complex64)
+    spec[sel] = np.exp(1j * rng.uniform(0, 2 * np.pi, int(sel.sum())))
+    shared = np.fft.irfft(spec, n=n).astype(np.float32)
+    shared /= shared.std() + 1e-12
+    eeg = np.stack([0.25 * shared[:, None]
                     + rng.standard_normal((n, N_EEG)).astype(np.float32)
                     for _ in range(n_subjects)])
-    emg = np.stack([0.2 * shared[:, None]
+    emg = np.stack([0.25 * shared[:, None]
                     + rng.standard_normal((n, N_EMG)).astype(np.float32)
                     for _ in range(n_subjects)])
 
@@ -379,9 +389,13 @@ def full_cohort_10k_null_study_scale(n_subjects=12, n_surrogates=10_000,
     emg = _cohort_int8(N_EMG)
     t_gen = time.perf_counter() - t_gen0
 
+    # window_chunk 32: AOT memory analysis at these shapes —
+    # args (int8 cohort) 5.34 G + coef output 0.70 G + temps 4.65 G
+    # = 10.7 G of the 15.75 G HBM (wc=64 totals 14.6 G: too close to
+    # the fragmentation line — it OOMed at runtime)
     kw = dict(sampling_freq=FS, nw=NW, window_length_sec=WINDOW_SEC,
               overlap_frac=OVERLAP, band=(13.0, 100.0),
-              surrogate_chunk=500, window_chunk=64,
+              surrogate_chunk=500, window_chunk=32,
               window_starts=starts, window_weights=weights,
               overlap_upload=False)
 
