@@ -123,8 +123,10 @@ def _rotation_coeffs_body(eeg, emg, starts, weights, tapers,
     """
     K = tapers.shape[0]
     ks, ls = _pair_indices(K)
-    eeg = eeg.astype(jnp.float32)      # accept reduced transfer dtypes
-    emg = emg.astype(jnp.float32)
+    # reduced transfer dtypes (int8/int16) are converted to f32 per
+    # window chunk INSIDE the scan body — converting the whole signal
+    # here materialized 2×1.7 GB (padded) copies at study scale (28 min
+    # × 64 ch) and OOMed a 16 GB chip
     pad = (-starts.shape[0]) % window_chunk
     if pad:                       # shapes are static at trace time
         starts = jnp.concatenate([starts, jnp.tile(starts[:1], pad)])
@@ -136,10 +138,25 @@ def _rotation_coeffs_body(eeg, emg, starts, weights, tapers,
     nE = eeg.shape[1]
     nM = emg.shape[1]
 
+    nN = nE * nM
+    nP2 = len(ks)
+
+    # The scan accumulates only what the epilogue consumes — the K
+    # taper-diagonal powers and the P/2 = K(K−1)/2 upper-triangle pair
+    # products — as f32 tensors whose minor axis is the flattened
+    # N = E·M pair dim (a multiple of the 128-lane tile at any realistic
+    # montage).  Carrying the full K×K complex matrix out of an einsum
+    # let XLA lay the (5, 5) taper dims out minor, padding each (8, 128)
+    # tile 41× (2 × 2.7 GB for a 68 MB carry) — an OOM at study scale.
     def body(carry, cw):
-        cs, wts = cw
-        ef = frame_signal(eeg, cs, window_samples)        # (wc, S, E)
-        mf = frame_signal(emg, cs, window_samples)        # (wc, S, M)
+        diag, pr, pi = cw_body(*cw)
+        return (carry[0] + diag, carry[1] + pr, carry[2] + pi), None
+
+    def cw_body(cs, wts):
+        ef = frame_signal(eeg, cs, window_samples).astype(
+            jnp.float32)                                  # (wc, S, E)
+        mf = frame_signal(emg, cs, window_samples).astype(
+            jnp.float32)                                  # (wc, S, M)
         Ef = jnp.fft.rfft(ef[:, None] * tapers[None, :, :, None],
                           axis=2)[:, :, band_lo:band_hi]  # (wc, K, F, E)
         Mf = jnp.fft.rfft(mf[:, None] * tapers[None, :, :, None],
@@ -148,21 +165,43 @@ def _rotation_coeffs_body(eeg, emg, starts, weights, tapers,
         pm = (Mf.real ** 2 + Mf.imag ** 2).sum(axis=1)    # (wc, F, M)
         den = jnp.maximum(pe[..., :, None] * pm[..., None, :], _F32_TINY)
         scale = jnp.sqrt(wts[:, None, None, None] / den)  # (wc, F, E, M)
-        # y_k = conj(E_k) M_k · sqrt(w/den):  C_kl = Σ_w y_k conj(y_l)
-        y = (jnp.conj(Ef)[..., :, None] * Mf[..., None, :]
-             ) * scale[:, None]                           # (wc, K, F, E, M)
-        C = jnp.einsum("wkfem,wlfem->klfem", y, jnp.conj(y))
-        return carry + C, None
+        # y_k = conj(E_k) M_k · sqrt(w/den):  C_kl = Σ_w y_k conj(y_l),
+        # in real arithmetic (complex64 on TPU costs the same bytes but
+        # defeats some fusions): per taper,
+        #   yr_k = (Er_k·Mr_k + Ei_k·Mi_k)·scale
+        #   yi_k = (Er_k·Mi_k − Ei_k·Mr_k)·scale
+        Er, Ei = Ef.real[..., :, None], Ef.imag[..., :, None]
+        Mr, Mi = Mf.real[..., None, :], Mf.imag[..., None, :]
+        sc = scale[:, None]
+        yr = ((Er * Mr + Ei * Mi) * sc).reshape(
+            -1, K, nF, nN)                                # (wc, K, F, N)
+        yi = ((Er * Mi - Ei * Mr) * sc).reshape(-1, K, nF, nN)
+        diag = (yr * yr + yi * yi).sum(axis=(0, 1))       # (F, N)
+        # Re/Im of Σ_w y_k conj(y_l), k < l — a static loop over the
+        # P/2 ≈ 10 pairs, each a fused mul+reduce over the window axis
+        # with no temp larger than (F, N).  A vectorised yr[:, ks]·…
+        # gather materialises (wc, P/2, F, N) intermediates (~2 GB per
+        # product at study scale), and an einsum dot_general lays the
+        # tiny (K, K) dims minor (41× tile padding) — both OOM a 16 GB
+        # chip; the tiny-K contraction gains nothing from the MXU.
+        pr = jnp.stack([(yr[:, k] * yr[:, l]
+                         + yi[:, k] * yi[:, l]).sum(axis=0)
+                        for k, l in zip(ks, ls)])         # (P/2, F, N)
+        pi = jnp.stack([(yi[:, k] * yr[:, l]
+                         - yr[:, k] * yi[:, l]).sum(axis=0)
+                        for k, l in zip(ks, ls)])
+        return diag, pr, pi
 
-    C0 = jnp.zeros((K, K, nF, nE, nM), jnp.complex64)
-    C, _ = jax.lax.scan(body, C0, (starts_c, weights_c))
-    C = C / jnp.maximum(weights.sum(), _F32_TINY)
+    C0 = (jnp.zeros((nF, nN), jnp.float32),
+          jnp.zeros((nP2, nF, nN), jnp.float32),
+          jnp.zeros((nP2, nF, nN), jnp.float32))
+    (diag, pr, pi), _ = jax.lax.scan(body, C0, (starts_c, weights_c))
+    wsum = jnp.maximum(weights.sum(), _F32_TINY)
 
-    base = jnp.einsum("kkfem->fem", C.real)
-    coef = jnp.concatenate([2.0 * C.real[ks, ls],
-                            -2.0 * C.imag[ks, ls]], axis=0)  # (P, F, E, M)
-    return base.astype(jnp.float32), \
-        jnp.moveaxis(coef, 0, -1).astype(jnp.float32)        # (F, E, M, P)
+    base = diag / wsum                                       # (F, N)
+    coef = jnp.concatenate([2.0 * pr, -2.0 * pi], axis=0) / wsum
+    return base.reshape(nF, nE, nM), \
+        jnp.moveaxis(coef, 0, -1).reshape(nF, nE, nM, -1)    # (F, E, M, P)
 
 
 _subject_rotation_coeffs = functools.partial(
@@ -224,8 +263,10 @@ def _cohort_rotation_coeffs(eeg, emg, starts, weights, tapers,
 
     def one(args):
         e, m, s, w = args
+        # e/m stay in their transfer dtype (int8/int16) — the body
+        # converts per window chunk after framing
         b, c = _rotation_coeffs_body(
-            e.astype(jnp.float32), m.astype(jnp.float32), s, w, tapers,
+            e, m, s, w, tapers,
             window_samples, band_lo, band_hi, window_chunk)
         return b, c.reshape(c.shape[0], nE * nM, c.shape[-1])
 
@@ -268,7 +309,7 @@ def _make_sharded_coeffs(mesh, J: int, window_samples: int, band_lo: int,
         def one(args):
             e, m, s, w = args
             b, c = _rotation_coeffs_body(
-                e.astype(jnp.float32), m.astype(jnp.float32), s, w,
+                e, m, s, w,
                 tapers, window_samples, band_lo, band_hi, window_chunk)
             return b, c.reshape(c.shape[0], -1, c.shape[-1])
         return jax.lax.map(one, (eeg, emg, starts, weights))
