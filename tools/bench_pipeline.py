@@ -235,26 +235,8 @@ def main():
             f"({ica.n_iter_} iters, {n_excluded} ICs excluded), "
             f"apply {t_ica_apply:.1f}s, spatial {t_spatial:.1f}s")
 
-        t0 = time.perf_counter()
-        emg1_d, nb1, _ = upload_quantized(emg1_mv, np.int16)
-        emg1_clean = BiosignalPreprocessor(
-            emg1_d, int(FS), "emg",
-            n_ica_components=None, automatic_ic_labelling=False,
-            wavelet_type=None, laplacian_filter_neighbor_radius=None,
-            device_resident=True).np_output_data
-        emg2_d, nb2, _ = upload_quantized(emg2_mv, np.int16)
-        emg2_clean = BiosignalPreprocessor(
-            emg2_d, int(FS), "emg",
-            n_ica_components=None, automatic_ic_labelling=False,
-            wavelet_type=None, laplacian_filter_neighbor_radius=None,
-            device_resident=True).np_output_data
-        hard_sync(emg1_clean, emg2_clean)
-        detail["s2_emg_upload_bytes"] = int(nb1 + nb2)
-        stages["s2_emg_cascade_sec"] = round(time.perf_counter() - t0, 2)
-        log(f"[s2] EMG cascades: {stages['s2_emg_cascade_sec']}s")
-        del emg1, emg2, emg1_mv, emg2_mv
-
-        # CPU denominators for stage 2
+        # CPU denominators for stage 2 (needs `eeg` and `ica`, so they
+        # run before the EEG cascade's caches are released below)
         slice_n = int(30 * FS)
         d = cpu_filter_denominator(eeg[:slice_n], FS)
         denominators["s2_filter_cpu_sec_extrapolated"] = round(
@@ -275,10 +257,31 @@ def main():
             f"{denominators['s2_ica_cpu_sec_extrapolated']}s")
         del eeg
         # the cascade caches every stage on-device in device_resident
-        # mode (~0.9 GB each at this scale, ~6 stages); release them so
-        # stage 3's spectrograms have HBM to land in
+        # mode (~0.9 GB each at this scale, ~6 stages); release them
+        # BEFORE the two EMG cascades run — with them still pinned the
+        # EMG cascade OOMs a 16 GB chip (observed: ResourceExhausted in
+        # the EMG amplitude annotation)
         prep.free_intermediate_stages()
         del prep, ica
+
+        t0 = time.perf_counter()
+        emg1_d, nb1, _ = upload_quantized(emg1_mv, np.int16)
+        emg1_clean = BiosignalPreprocessor(
+            emg1_d, int(FS), "emg",
+            n_ica_components=None, automatic_ic_labelling=False,
+            wavelet_type=None, laplacian_filter_neighbor_radius=None,
+            device_resident=True).np_output_data
+        emg2_d, nb2, _ = upload_quantized(emg2_mv, np.int16)
+        emg2_clean = BiosignalPreprocessor(
+            emg2_d, int(FS), "emg",
+            n_ica_components=None, automatic_ic_labelling=False,
+            wavelet_type=None, laplacian_filter_neighbor_radius=None,
+            device_resident=True).np_output_data
+        hard_sync(emg1_clean, emg2_clean)
+        detail["s2_emg_upload_bytes"] = int(nb1 + nb2)
+        stages["s2_emg_cascade_sec"] = round(time.perf_counter() - t0, 2)
+        log(f"[s2] EMG cascades: {stages['s2_emg_cascade_sec']}s")
+        del emg1, emg2, emg1_mv, emg2_mv
 
         # ── stage 3: feature extraction ───────────────────────────────
         # compute stays device-resident; the host download of the big
