@@ -52,9 +52,20 @@ truth (tested); under a strong true coupling the null widens (it does not
 enjoy the 1/W variance shrinkage a per-window randomisation would give),
 making the test *conservative* in the alternative — detection of real
 coupling still stands out by construction since the observed statistic
-contains the coherent sum the rotations destroy.  (Measured against the
-classic full-FFT engine the power cost is immaterial: BENCH_NULL_POWER.json,
-max gap 0.017 over a coupling × window-count sweep.)
+contains the coherent sum the rotations destroy.  The measured operating
+characteristic (BENCH_NULL_POWER.json, tools/bench_null_power.py) puts
+the power cost vs the classic full-FFT engine at a mean gap ≈ 0.10 over
+a coupling × window-count sweep, concentrated in a narrow near-threshold
+coupling band (max 0.43 at W = 32, coupling 0.45); away from the
+threshold both engines agree (gap ≤ 0.08).  Most of that band-edge cost
+is the calibrated ``'disjoint'`` inference using only every other window
+of a 50 %-overlap grid (W/2 windows vs the full-FFT engine's W), the
+rest the no-shrinkage conservativeness above.  Where that band matters
+and the scale permits, the classic full-FFT engine
+(``ops/surrogate.py::msc_phase_randomized_null``, which resynthesises
+fresh signal-level phases per surrogate) is the higher-power
+alternative; at study scale the rotation engine is the one that fits
+in seconds.
 
 Exactness requires *non-overlapping* windows: overlapping windows'
 taper coefficients carry a non-zero pseudo-covariance E[M_kw M_kw']

@@ -51,11 +51,22 @@ def test_power_increases_with_coupling(artifact):
 
 def test_power_gap_within_documented_envelope(artifact):
     """The measured conservativeness cost stays within the envelope
-    documented in ops/cohort_null.py.  Bound chosen from the committed
-    round-3 sweep (max gap observed there plus Monte-Carlo slack at
-    60 replicates, ±2σ ≈ 0.13)."""
-    assert artifact["max_power_gap_fullfft_minus_rotation"] <= 0.35
+    documented in ops/cohort_null.py.  With the calibrated
+    ``p_value_windows='disjoint'`` default the rotation engine's
+    inference uses only every other window of the 50 %-overlap sweep
+    grids (W/2 vs the full-FFT engine's W), so a real power gap opens
+    in the narrow near-threshold coupling band — committed round-3
+    sweep: max 0.43 (W=32, coupling 0.45), mean ≈ 0.10.  Bounds = those
+    values plus Monte-Carlo slack at 60 replicates (±2σ ≈ 0.13)."""
+    assert artifact["max_power_gap_fullfft_minus_rotation"] <= 0.56
     assert artifact["mean_power_gap"] <= 0.15
+
+    # away from the detection threshold the engines must agree: every
+    # cell where the full-FFT engine is decisive (power ≥ 0.9) the
+    # rotation engine reaches at least 0.75
+    for key, g in artifact["grid"].items():
+        if g["power_fullfft"] >= 0.9:
+            assert g["power_rotation"] >= 0.75, (key, g)
 
 
 def test_grid_covers_study_relevant_regimes(artifact):
