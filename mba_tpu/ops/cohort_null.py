@@ -123,7 +123,7 @@ def phase_features(phi: jnp.ndarray) -> jnp.ndarray:
 
 def _rotation_coeffs_body(eeg, emg, starts, weights, tapers,
                           window_samples: int, band_lo: int, band_hi: int,
-                          window_chunk: int):
+                          window_chunk: int, per_window: bool = False):
     """Per-subject rotation-null coefficients (traceable body).
 
     Returns (base, coef):
@@ -131,6 +131,13 @@ def _rotation_coeffs_body(eeg, emg, starts, weights, tapers,
       coef : (F, E, M, P) f32 — [2Re C_kl]_{k<l} ++ [−2Im C_kl]_{k<l}
     such that ``stat(φ) = base + feats(φ) · coef`` exactly equals the
     weighted window-mean MSC with taper-rotated EMG spectra.
+
+    ``per_window=True`` keeps the window axis instead of summing it:
+    coef comes back as (Wp, F, E·M, P) (Wp = W padded to the chunk
+    multiple; pad windows carry zero weight hence exactly-zero
+    coefficients) so the null can rotate every window independently —
+    the 1/W-shrinkage, higher-power variant for small window counts.
+    ``base`` is unchanged (it is rotation-invariant either way).
     """
     K = tapers.shape[0]
     ks, ls = _pair_indices(K)
@@ -163,7 +170,8 @@ def _rotation_coeffs_body(eeg, emg, starts, weights, tapers,
         diag, pr, pi = cw_body(*cw)
         return (carry[0] + diag, carry[1] + pr, carry[2] + pi), None
 
-    def cw_body(cs, wts):
+    def _taper_products(cs, wts):
+        """Tapered band spectra → per-window rotation products yr/yi."""
         ef = frame_signal(eeg, cs, window_samples).astype(
             jnp.float32)                                  # (wc, S, E)
         mf = frame_signal(emg, cs, window_samples).astype(
@@ -187,6 +195,10 @@ def _rotation_coeffs_body(eeg, emg, starts, weights, tapers,
         yr = ((Er * Mr + Ei * Mi) * sc).reshape(
             -1, K, nF, nN)                                # (wc, K, F, N)
         yi = ((Er * Mi - Ei * Mr) * sc).reshape(-1, K, nF, nN)
+        return yr, yi, None
+
+    def cw_body(cs, wts):
+        yr, yi, _ = _taper_products(cs, wts)
         diag = (yr * yr + yi * yi).sum(axis=(0, 1))       # (F, N)
         # Re/Im of Σ_w y_k conj(y_l), k < l — a static loop over the
         # P/2 ≈ 10 pairs, each a fused mul+reduce over the window axis
@@ -203,11 +215,33 @@ def _rotation_coeffs_body(eeg, emg, starts, weights, tapers,
                         for k, l in zip(ks, ls)])
         return diag, pr, pi
 
+    def cw_body_per_window(cs, wts):
+        """Same pair products but keeping the window axis (small scale
+        only — the per-window tensor is guarded by the caller)."""
+        yr, yi, _ = _taper_products(cs, wts)
+        diag = (yr * yr + yi * yi).sum(axis=1)            # (wc, F, N)
+        pr = jnp.stack([yr[:, k] * yr[:, l] + yi[:, k] * yi[:, l]
+                        for k, l in zip(ks, ls)], axis=1)  # (wc, P/2, F, N)
+        pi = jnp.stack([yi[:, k] * yr[:, l] - yr[:, k] * yi[:, l]
+                        for k, l in zip(ks, ls)], axis=1)
+        return diag, pr, pi
+
+    wsum = jnp.maximum(weights.sum(), _F32_TINY)
+    if per_window:
+        diag_w, pr_w, pi_w = jax.lax.map(
+            lambda cw: cw_body_per_window(*cw), (starts_c, weights_c))
+        diag_w = diag_w.reshape(-1, nF, nN)               # (Wp, F, N)
+        pr_w = pr_w.reshape(-1, nP2, nF, nN)              # (Wp, P/2, F, N)
+        pi_w = pi_w.reshape(-1, nP2, nF, nN)
+        base = diag_w.sum(axis=0) / wsum
+        coefw = jnp.concatenate([2.0 * pr_w, -2.0 * pi_w], axis=1) / wsum
+        return base.reshape(nF, nE, nM), \
+            jnp.moveaxis(coefw, 1, -1)                    # (Wp, F, N, P)
+
     C0 = (jnp.zeros((nF, nN), jnp.float32),
           jnp.zeros((nP2, nF, nN), jnp.float32),
           jnp.zeros((nP2, nF, nN), jnp.float32))
     (diag, pr, pi), _ = jax.lax.scan(body, C0, (starts_c, weights_c))
-    wsum = jnp.maximum(weights.sum(), _F32_TINY)
 
     base = diag / wsum                                       # (F, N)
     coef = jnp.concatenate([2.0 * pr, -2.0 * pi], axis=0) / wsum
@@ -217,7 +251,8 @@ def _rotation_coeffs_body(eeg, emg, starts, weights, tapers,
 
 _subject_rotation_coeffs = functools.partial(
     jax.jit, static_argnames=("window_samples", "band_lo", "band_hi",
-                              "window_chunk"))(_rotation_coeffs_body)
+                              "window_chunk",
+                              "per_window"))(_rotation_coeffs_body)
 
 
 @functools.partial(jax.jit, static_argnames=("J",))
@@ -289,6 +324,74 @@ def _cohort_rotation_coeffs(eeg, emg, starts, weights, tapers,
     observed_flat = base_flat + coef_all[..., :P // 2].sum(
         axis=-1).mean(axis=0)
     return base_cohort, coef_all, observed_flat
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("window_samples", "band_lo", "band_hi",
+                                    "window_chunk"))
+def _cohort_rotation_coeffs_pw(eeg, emg, starts, weights, tapers,
+                               window_samples: int, band_lo: int,
+                               band_hi: int, window_chunk: int):
+    """All-subject PER-WINDOW rotation coefficients in one program.
+
+    Small-scale companion of ``_cohort_rotation_coeffs`` (the caller
+    guards the tensor size): returns (base_cohort (F, E, M),
+    coefw_all (Wp, J, F, N, P) — window axis leading so the null scan
+    consumes it without a per-chunk transpose, observed_flat (F, N)).
+    """
+    nE, nM = eeg.shape[2], emg.shape[2]
+
+    def one(args):
+        e, m, s, w = args
+        return _rotation_coeffs_body(
+            e, m, s, w, tapers, window_samples, band_lo, band_hi,
+            window_chunk, per_window=True)
+
+    base_j, coefw = jax.lax.map(one, (eeg, emg, starts, weights))
+    coefw_all = jnp.moveaxis(coefw, 0, 1)       # (Wp, J, F, N, P)
+    base_cohort = base_j.mean(axis=0)                       # (F, E, M)
+    P = coefw_all.shape[-1]
+    base_flat = base_cohort.reshape(base_cohort.shape[0], nE * nM)
+    # observed = stat at φ = 0: cos features 1, sin features 0, summed
+    # over the window axis (pad windows are exactly zero)
+    observed_flat = base_flat + coefw_all[..., :P // 2].sum(
+        axis=(0, -1)).mean(axis=0)
+    return base_cohort, coefw_all, observed_flat
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_chunk", "K", "compute_dtype"),
+                   donate_argnums=(4,))
+def _null_chunk_jit_pw(key, coefw_all, base_cohort, observed, counts,
+                       n_chunk, K, compute_dtype):
+    """One surrogate chunk with INDEPENDENT rotations per window.
+
+    coefw_all: (Wp, J, F, N, P).  A ``lax.scan`` over the window axis
+    keeps the live footprint identical to the shared-rotation chunk
+    (one (J, S, F, P) feature tensor + the (F, S, N) accumulator);
+    ``fold_in(key, w)`` gives every window its own phase stream.
+    """
+    Wp, J, nF, nN, P = coefw_all.shape
+
+    def body(acc, xw):
+        coef_w, w_idx = xw
+        kw = jax.random.fold_in(key, w_idx)
+        phi = jax.random.uniform(kw, (J, n_chunk, K, nF),
+                                 minval=0.0, maxval=2.0 * np.pi)
+        G = phase_features(phi)                            # (J, S, F, P)
+        inc = jax.lax.dot_general(
+            G.astype(compute_dtype), coef_w.astype(compute_dtype),
+            dimension_numbers=(((0, 3), (0, 3)), ((2,), (1,))),
+            preferred_element_type=jnp.float32)            # (F, S, N)
+        return acc + inc, None
+
+    acc0 = jnp.zeros((nF, n_chunk, nN), jnp.float32)
+    stat_sum, _ = jax.lax.scan(
+        body, acc0, (coefw_all, jnp.arange(Wp, dtype=jnp.uint32)))
+    stat = base_cohort[:, None, :] + stat_sum / J
+    max_stat = stat.max(axis=(0, 2))                       # (S,)
+    counts = counts + (stat >= observed[:, None, :]).sum(axis=1)
+    return max_stat, counts
 
 
 def _make_sharded_coeffs(mesh, J: int, window_samples: int, band_lo: int,
@@ -442,6 +545,8 @@ def cohort_msc_rotation_null(
         window_starts=None,
         window_weights=None,
         p_value_windows: str = "disjoint",
+        rotation_mode: str = "shared",
+        per_window_max_coef_bytes: int = 2 * 1024 ** 3,
         overlap_upload: bool = True,
         precompute_only: bool = False,
         verbose: bool = False,
@@ -483,6 +588,26 @@ def cohort_msc_rotation_null(
         (0.03 at W = 128).  Estimation (the coherence *map*) is
         unaffected — use ``parallel.cohort.cohort_multitaper_msc`` for
         overlap-dense estimates; this engine's job is inference.
+    rotation_mode : ``'shared'`` (default) draws ONE rotation per
+        (subject, taper, frequency) shared across windows — the
+        study-scale engine (coefficients are window-summed, so memory
+        and the surrogate contraction are independent of W).
+        ``'per_window'`` draws an independent rotation per window.
+        Under H0 the two nulls coincide in distribution (each window's
+        rotated products are rotation-invariant and windows are
+        independent), so calibration is identical; under true coupling
+        the per-window null stops conditioning on the observed
+        cross-window phase alignment and is strictly tighter (measured:
+        max-stat q95 ~5 % lower at planted coherence 0.25, a small
+        power gain concentrated at strong coupling — the sweep's
+        near-threshold gap vs the full-FFT engine is dominated by the
+        disjoint-subset window count, NOT the shared rotation;
+        BENCH_NULL_POWER.json quantifies all three engines).  Costs W×
+        the coefficient memory and surrogate FLOPs, so it is guarded to
+        small scale (``per_window_max_coef_bytes``, default 2 GB) and
+        requires ``p_value_windows='disjoint'`` (independent per-window
+        rotations are only distribution-preserving for non-overlapping
+        windows) and ``mesh=None``.
     overlap_upload : pipeline the precompute per subject — quantize
         subject j+1 on the host while the link uploads subject j and the
         chip runs subject j-1's coefficient pass (all transfers and
@@ -587,6 +712,31 @@ def cohort_msc_rotation_null(
     W = window_starts.shape[1]
     wc = int(min(window_chunk, W))   # chunk-padding happens inside the jit
 
+    if rotation_mode not in ("shared", "per_window"):
+        raise ValueError("rotation_mode must be 'shared' or 'per_window', "
+                         f"got {rotation_mode!r}")
+    per_window = rotation_mode == "per_window"
+    if per_window:
+        if mesh is not None:
+            raise ValueError("rotation_mode='per_window' does not support "
+                             "mesh sharding; use the shared mode or run "
+                             "single-device")
+        if p_value_windows != "disjoint":
+            raise ValueError("rotation_mode='per_window' requires "
+                             "p_value_windows='disjoint': independent "
+                             "per-window rotations are only distribution-"
+                             "preserving for non-overlapping windows")
+        Wp = -(-W // wc) * wc
+        P_f = K * (K - 1)
+        pw_bytes = Wp * J * nF * nE * nM * P_f * 4
+        if pw_bytes > per_window_max_coef_bytes:
+            raise ValueError(
+                f"per-window coefficients need {pw_bytes / 1e9:.1f} GB "
+                f"(> {per_window_max_coef_bytes / 1e9:.1f} GB budget) — "
+                "the per-window mode is for small window counts / channel "
+                "subsets; use rotation_mode='shared' (window-summed "
+                "coefficients, W-independent memory) at this scale")
+
     if compute_dtype is None:
         plat = jax.devices()[0].platform
         compute_dtype = jnp.bfloat16 if plat in ("tpu", "axon") \
@@ -624,7 +774,7 @@ def cohort_msc_rotation_null(
     starts_all = jnp.asarray(window_starts, jnp.int32)       # (J, W)
     weights_all = jnp.asarray(window_weights)                # (J, W)
 
-    def _precompute_fused():
+    def _precompute_fused(program=_cohort_rotation_coeffs):
         """One upload per modality + one all-subject program.  The f32
         cast happens inside the program, per subject, so the f32 cohort
         never materialises in HBM at once."""
@@ -640,7 +790,7 @@ def cohort_msc_rotation_null(
         _hard_sync(eeg_d, emg_d)     # device_put acks before bytes land
         t_stage["upload_sec"] = round(_time.perf_counter() - t_up0, 3)
         t_co0 = _time.perf_counter()
-        out = _cohort_rotation_coeffs(
+        out = program(
             eeg_d, emg_d, starts_all, weights_all,
             tapers_j, window_samples, lo, hi, wc)
         _hard_sync(out)
@@ -720,8 +870,11 @@ def cohort_msc_rotation_null(
         t_stage["coeffs_shard_devices"] = n_dev
         return out
 
-    pipelined = bool(overlap_upload) and mesh is None
-    if mesh is not None:
+    pipelined = bool(overlap_upload) and mesh is None and not per_window
+    if per_window:
+        base_cohort_d, coef_all, observed_flat = _precompute_fused(
+            _cohort_rotation_coeffs_pw)      # coef_all: (Wp, J, F, N, P)
+    elif mesh is not None:
         base_cohort_d, coef_all, observed_flat = _precompute_sharded()
     else:
         base_cohort_d, coef_all, observed_flat = (
@@ -749,6 +902,7 @@ def cohort_msc_rotation_null(
             "freqs": freqs,
             "metadata": {
                 "method": "taper_rotation",
+                "rotation_mode": rotation_mode,
                 "K_tapers": K,
                 "n_subjects": J,
                 "band": tuple(band),
@@ -771,7 +925,18 @@ def cohort_msc_rotation_null(
     key = jax.random.PRNGKey(seed)
     max_stats = []
     n_total = 0
-    if mesh is not None:
+    if per_window:
+        # independent rotations per window: XLA core only (the scan over
+        # the window axis keeps the live footprint at the shared-mode
+        # chunk size; Pallas/mesh not needed at the guarded small scale)
+        while n_total < n_surrogates:
+            key, sub = jax.random.split(key)
+            ms, counts = _null_chunk_jit_pw(
+                sub, coef_all, base_flat, observed_flat, counts,
+                chunk, K, compute_dtype)
+            max_stats.append(np.asarray(ms))
+            n_total += chunk
+    elif mesh is not None:
         # the fused Pallas kernel runs per device inside shard_map on
         # real TPU backends (same engine as single-chip; XLA core
         # elsewhere)
@@ -903,9 +1068,11 @@ def cohort_msc_rotation_null(
             "band": tuple(band),
             "band_bins": (lo, hi),
             "n_subjects": J,
+            "rotation_mode": rotation_mode,
             "compute_dtype": jnp.dtype(compute_dtype).name,
-            "contraction_flops": float(2 * n_total * nF * nE * nM
-                                       * J * P_feats),
+            "contraction_flops": float(2 * n_total * nF * nE * nM * J
+                                       * P_feats * (Wp if per_window
+                                                    else 1)),
             "timings": {"precompute_sec": round(t_precompute, 3),
                         "null_sec": round(t_null, 3), **t_stage},
         },

@@ -453,3 +453,104 @@ class TestValidation:
             cohort_msc_rotation_null(eeg[None], emg[None], FS,
                                      band=(200.0, 300.0),
                                      window_length_sec=0.25)
+
+
+class TestPerWindowRotation:
+    """rotation_mode='per_window': independent rotation per (disjoint)
+    window.  Exactness mirrors TestExactIdentity with per-window phases;
+    the operating characteristic lives in BENCH_NULL_POWER.json."""
+
+    def test_matches_direct_per_window_rotation(self):
+        ws, hop = 128, 128                       # disjoint grid
+        eeg, emg = _toy_subject(5)
+        tapers = filtered_tapers(ws, 3, 0.9).astype(np.float32)
+        K = tapers.shape[0]
+        starts, _ = window_grid(len(eeg), ws, hop, FS, "cmc")
+        weights = np.ones(len(starts), np.float32)
+        lo, hi = 2, 40
+        W = len(starts)
+
+        base, coefw = _subject_rotation_coeffs(
+            jnp.asarray(eeg), jnp.asarray(emg),
+            jnp.asarray(starts, jnp.int32), jnp.asarray(weights),
+            jnp.asarray(tapers), ws, lo, hi, 4, per_window=True)
+        base, coefw = np.asarray(base), np.asarray(coefw)
+        nF, nE, nM = base.shape
+        assert coefw.shape[0] % 4 == 0           # padded to the chunk
+        assert coefw.shape[0] >= W
+        # pad windows carry zero weight → exactly-zero coefficients
+        np.testing.assert_array_equal(coefw[W:], 0.0)
+
+        rng = np.random.default_rng(43)
+        for _ in range(2):
+            phi_w = rng.uniform(0, 2 * np.pi, (W, K, hi - lo))
+            feats = np.asarray(phase_features(jnp.asarray(phi_w)))
+            engine = base.reshape(nF, nE * nM) + np.einsum(
+                "wfp,wfnp->fn", feats, coefw[:W])
+            direct = 0.0
+            for i, (s, w) in enumerate(zip(starts, weights)):
+                direct = direct + w * _direct_rotated_stat(
+                    eeg, emg, starts[i:i + 1], weights[i:i + 1],
+                    tapers, lo, hi, phi_w[i])
+            direct = (direct / weights.sum()).reshape(nF, nE * nM)
+            np.testing.assert_allclose(engine, direct, rtol=2e-4,
+                                       atol=2e-5)
+
+    def test_end_to_end_and_h0_equivalence(self):
+        """Shapes/p-values sane; under H0 the per-window and shared
+        nulls coincide in distribution (rotation invariance), checked
+        on the pooled max-stat quantiles."""
+        eeg = np.stack([_toy_subject(10 + s)[0] for s in range(4)])
+        emg = np.stack([_toy_subject(10 + s)[1] for s in range(4)])
+        kw = dict(sampling_freq=FS, n_surrogates=400,
+                  window_length_sec=0.5, band=(8.0, 40.0),
+                  surrogate_chunk=200, seed=3)
+        r_pw = cohort_msc_rotation_null(eeg, emg,
+                                        rotation_mode="per_window", **kw)
+        r_sh = cohort_msc_rotation_null(eeg, emg, **kw)
+        assert r_pw["metadata"]["rotation_mode"] == "per_window"
+        assert r_pw["max_stat"].shape == (400,)
+        np.testing.assert_allclose(r_pw["observed"], r_sh["observed"],
+                                   rtol=1e-5, atol=1e-6)
+        q_pw = np.quantile(r_pw["max_stat"], [0.5, 0.9])
+        q_sh = np.quantile(r_sh["max_stat"], [0.5, 0.9])
+        np.testing.assert_allclose(q_pw, q_sh, rtol=0.08)
+
+    def test_tighter_null_under_coupling(self):
+        """Under strong coupling the per-window null must be tighter
+        than the shared null (it drops the conditioning on observed
+        cross-window phase alignment)."""
+        rng = np.random.default_rng(11)
+        n = 16 * 128
+        eeg, emg = [], []
+        for _ in range(5):
+            shared = rng.standard_normal(n).astype(np.float32)
+            eeg.append(shared[:, None]
+                       + rng.standard_normal((n, 1)).astype(np.float32))
+            emg.append(shared[:, None]
+                       + rng.standard_normal((n, 1)).astype(np.float32))
+        eeg, emg = np.stack(eeg), np.stack(emg)
+        kw = dict(sampling_freq=FS, n_surrogates=400,
+                  window_length_sec=0.5, overlap_frac=0.0,
+                  band=(8.0, 40.0), surrogate_chunk=200, seed=0)
+        r_pw = cohort_msc_rotation_null(eeg, emg,
+                                        rotation_mode="per_window", **kw)
+        r_sh = cohort_msc_rotation_null(eeg, emg, **kw)
+        assert np.quantile(r_pw["max_stat"], 0.95) \
+            < np.quantile(r_sh["max_stat"], 0.95)
+        assert np.asarray(r_pw["max_stat"]).std() \
+            < np.asarray(r_sh["max_stat"]).std()
+
+    def test_guards(self):
+        eeg = np.stack([_toy_subject(20 + s)[0] for s in range(2)])
+        emg = np.stack([_toy_subject(20 + s)[1] for s in range(2)])
+        with pytest.raises(ValueError, match="p_value_windows"):
+            cohort_msc_rotation_null(eeg, emg, FS,
+                                     rotation_mode="per_window",
+                                     p_value_windows="all")
+        with pytest.raises(ValueError, match="per-window coefficients"):
+            cohort_msc_rotation_null(eeg, emg, FS,
+                                     rotation_mode="per_window",
+                                     per_window_max_coef_bytes=16)
+        with pytest.raises(ValueError, match="rotation_mode"):
+            cohort_msc_rotation_null(eeg, emg, FS, rotation_mode="bogus")

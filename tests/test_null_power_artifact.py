@@ -25,14 +25,14 @@ def artifact():
     return json.loads(ARTIFACT.read_text())
 
 
-def test_h0_calibration_both_engines(artifact):
-    """Under H0 both engines must reject at ≈ alpha (binomial noise at
+def test_h0_calibration_all_engines(artifact):
+    """Under H0 every engine must reject at ≈ alpha (binomial noise at
     the committed replicate count allows up to ~3x alpha)."""
     alpha = artifact["config"]["alpha"]
     assert artifact["h0_rejection_rates"], "no H0 cells in the grid"
-    for key, (rot, fft) in artifact["h0_rejection_rates"].items():
-        assert rot <= 3 * alpha + 0.02, (key, rot)
-        assert fft <= 3 * alpha + 0.02, (key, fft)
+    for key, rates in artifact["h0_rejection_rates"].items():
+        for rate in rates:      # (shared, full-FFT[, per-window])
+            assert rate <= 3 * alpha + 0.02, (key, rates)
 
 
 def test_power_increases_with_coupling(artifact):
@@ -67,6 +67,20 @@ def test_power_gap_within_documented_envelope(artifact):
     for key, g in artifact["grid"].items():
         if g["power_fullfft"] >= 0.9:
             assert g["power_rotation"] >= 0.75, (key, g)
+
+
+def test_per_window_mode_consistent_with_shared(artifact):
+    """The per-window rotation opt-in (independent rotation per window)
+    must never lose material power vs the shared rotation — under H0
+    the nulls coincide in distribution, and under coupling its null is
+    strictly tighter, so any deficit is Monte-Carlo noise (±2σ ≈ 0.13
+    at 60 replicates)."""
+    cells = [g for g in artifact["grid"].values()
+             if "power_rotation_pw" in g]
+    if not cells:
+        pytest.skip("artifact predates the per-window engine")
+    for g in cells:
+        assert g["power_rotation_pw"] >= g["power_rotation"] - 0.15, g
 
 
 def test_grid_covers_study_relevant_regimes(artifact):

@@ -154,17 +154,21 @@ def main():
         starts_j = jnp.asarray(starts_np, jnp.int32)
         for c in COUPLINGS:
             rej_rot = 0
+            rej_pw = 0
             rej_fft = 0
             for r in range(R_REPLICATES):
                 rng = np.random.default_rng(1000 * W + int(c * 100) + r)
                 eeg, emg = _make_cohort(rng, n, c)
-                res = cohort_msc_rotation_null(
-                    eeg, emg, FS, n_surrogates=N_SURR,
-                    window_length_sec=WINDOW_SEC, band=band,
-                    surrogate_chunk=N_SURR, seed=r,
-                    window_starts=np.tile(starts_np[None], (J, 1)),
-                    compute_dtype=jnp.float32)
+                kw = dict(sampling_freq=FS, n_surrogates=N_SURR,
+                          window_length_sec=WINDOW_SEC, band=band,
+                          surrogate_chunk=N_SURR, seed=r,
+                          window_starts=np.tile(starts_np[None], (J, 1)),
+                          compute_dtype=jnp.float32)
+                res = cohort_msc_rotation_null(eeg, emg, **kw)
                 rej_rot += res["p_fwe"] < ALPHA
+                res_pw = cohort_msc_rotation_null(
+                    eeg, emg, rotation_mode="per_window", **kw)
+                rej_pw += res_pw["p_fwe"] < ALPHA
                 ms, obs = fft_run(jax.random.PRNGKey(r),
                                   jnp.asarray(eeg), jnp.asarray(emg),
                                   starts_j, N_SURR)
@@ -175,9 +179,11 @@ def main():
             grid[key] = {
                 "windows": W, "coupling": c,
                 "power_rotation": round(rej_rot / R_REPLICATES, 3),
+                "power_rotation_pw": round(rej_pw / R_REPLICATES, 3),
                 "power_fullfft": round(rej_fft / R_REPLICATES, 3),
             }
             log(f"[{key}] rotation {grid[key]['power_rotation']:.2f} "
+                f"/ per-window {grid[key]['power_rotation_pw']:.2f} "
                 f"vs full-FFT {grid[key]['power_fullfft']:.2f} "
                 f"({time.perf_counter() - t_start:.0f}s)")
 
@@ -185,11 +191,13 @@ def main():
     gaps = [g["power_fullfft"] - g["power_rotation"]
             for g in grid.values() if g["coupling"] > 0
             and g["power_fullfft"] >= 0.2]
-    h0_rates = {k: (g["power_rotation"], g["power_fullfft"])
+    h0_rates = {k: (g["power_rotation"], g["power_fullfft"],
+                    g["power_rotation_pw"])
                 for k, g in grid.items() if g["coupling"] == 0}
     result = {
         "description": "rejection rate (alpha=0.05, FWE max statistic) "
-                       "of the taper-rotation cohort null vs a classic "
+                       "of the taper-rotation cohort null (shared and "
+                       "per-window rotation modes) vs a classic "
                        "full-FFT phase-randomisation cohort null, over "
                        "planted coupling x window count",
         "config": {"J": J, "fs": FS, "window_sec": WINDOW_SEC,
