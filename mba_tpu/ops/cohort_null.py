@@ -61,11 +61,11 @@ threshold both engines agree (gap ≤ 0.08).  Most of that band-edge cost
 is the calibrated ``'disjoint'`` inference using only every other window
 of a 50 %-overlap grid (W/2 windows vs the full-FFT engine's W), the
 rest the no-shrinkage conservativeness above.  Where that band matters
-and the scale permits, the classic full-FFT engine
-(``ops/surrogate.py::msc_phase_randomized_null``, which resynthesises
-fresh signal-level phases per surrogate) is the higher-power
-alternative; at study scale the rotation engine is the one that fits
-in seconds.
+and the scale permits, :func:`cohort_msc_fft_null` (same cohort
+statistic, fresh signal-level phases per surrogate — signal-level
+randomisation preserves the overlap dependence, so ALL windows enter
+the inference exactly) is the higher-power alternative; at study scale
+the rotation engine is the one that fits in seconds.
 
 Exactness requires *non-overlapping* windows: overlapping windows'
 taper coefficients carry a non-zero pseudo-covariance E[M_kw M_kw']
@@ -392,6 +392,213 @@ def _null_chunk_jit_pw(key, coefw_all, base_cohort, observed, counts,
     max_stat = stat.max(axis=(0, 2))                       # (S,)
     counts = counts + (stat >= observed[:, None, :]).sum(axis=1)
     return max_stat, counts
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("window_samples", "band_lo", "band_hi",
+                                    "window_chunk"))
+def _cohort_msc_map(eeg, emg, starts, weights, tapers,
+                    window_samples: int, band_lo: int, band_hi: int,
+                    window_chunk: int):
+    """Cohort-mean weighted window-mean MSC map (F, E, M).
+
+    eeg: (J, n, E), emg: (J, n, M); starts/weights: (J, W).  Same
+    chunked-scan memory profile as the coefficient pass, but computing
+    the MSC map directly (no pair products) — the shared evaluation
+    core of the full-FFT cohort engine below.
+    """
+    nF = band_hi - band_lo
+
+    def one(args):
+        e, m, s, w = args
+        pad = (-s.shape[0]) % window_chunk
+        if pad:
+            s = jnp.concatenate([s, jnp.tile(s[:1], pad)])
+            w = jnp.concatenate([w, jnp.zeros(pad, w.dtype)])
+        s_c = s.reshape(-1, window_chunk)
+        w_c = w.reshape(-1, window_chunk)
+
+        def body(carry, cw):
+            cs, wts = cw
+            ef = frame_signal(e, cs, window_samples).astype(jnp.float32)
+            mf = frame_signal(m, cs, window_samples).astype(jnp.float32)
+            Ef = jnp.fft.rfft(ef[:, None] * tapers[None, :, :, None],
+                              axis=2)[:, :, band_lo:band_hi]
+            Mf = jnp.fft.rfft(mf[:, None] * tapers[None, :, :, None],
+                              axis=2)[:, :, band_lo:band_hi]
+            Er, Ei = Ef.real[..., :, None], Ef.imag[..., :, None]
+            Mr, Mi = Mf.real[..., None, :], Mf.imag[..., None, :]
+            csd_r = (Er * Mr + Ei * Mi).sum(axis=1)       # (wc, F, E, M)
+            csd_i = (Er * Mi - Ei * Mr).sum(axis=1)
+            pe = (Ef.real ** 2 + Ef.imag ** 2).sum(axis=1)
+            pm = (Mf.real ** 2 + Mf.imag ** 2).sum(axis=1)
+            den = jnp.maximum(pe[..., :, None] * pm[..., None, :],
+                              _F32_TINY)
+            msc = (csd_r ** 2 + csd_i ** 2) / den
+            return carry + (wts[:, None, None, None] * msc).sum(axis=0), \
+                None
+
+        m0 = jnp.zeros((nF, e.shape[1], m.shape[1]), jnp.float32)
+        acc, _ = jax.lax.scan(body, m0, (s_c, w_c))
+        return acc / jnp.maximum(w.sum(), _F32_TINY)
+
+    return jax.lax.map(one, (eeg, emg, starts, weights)).mean(axis=0)
+
+
+def cohort_msc_fft_null(
+        eeg_cohort,
+        emg_cohort,
+        sampling_freq: float,
+        n_surrogates: int = 1000,
+        nw: float = 3,
+        window_length_sec: float = 2.0,
+        overlap_frac: float = 0.5,
+        taper_eigenvalue_threshold: float = 0.90,
+        band: tuple[float, float] = (13.0, 100.0),
+        quantiles=(0.95, 0.99),
+        surrogate_chunk: int = 8,
+        window_chunk: int = 32,
+        seed: int = 0,
+        window_starts=None,
+        window_weights=None,
+        verbose: bool = False,
+) -> dict:
+    """Classic full-FFT phase-randomisation cohort null (small scale).
+
+    The higher-power companion of :func:`cohort_msc_rotation_null`: each
+    surrogate draws fresh uniform phases on every subject's EMG *signal*
+    spectrum (one phase per frequency bin, shared across EMG channels so
+    intra-EMG structure survives; DC/Nyquist stay real) and re-evaluates
+    the full cohort statistic.  Because the surrogate signal has the
+    original autocorrelation, overlapping windows of the surrogate carry
+    the same cross-window dependence as the observed data — so ALL
+    windows enter the inference exactly (no disjoint subsetting), which
+    is where the rotation engine's near-threshold power gap comes from
+    (BENCH_NULL_POWER.json).  The price is an FFT resynthesis + full
+    map evaluation per surrogate: O(n_surrogates) cohort passes, vs the
+    rotation engine's precompute-once-then-matmul — use this engine for
+    small cohorts/channel subsets, the rotation engine at study scale.
+
+    Result dict schema matches ``cohort_msc_rotation_null``.
+    Parity note: the reference has no cohort-level surrogate engine
+    (its nulls are the Beta threshold, MNE cluster permutations, and
+    clustered bootstrap — data_surrogation.py:19-198 provides only
+    fault-injection surrogates); both engines extend it.
+    """
+    eeg = np.asarray(eeg_cohort, np.float32) \
+        if not isinstance(eeg_cohort, jax.Array) else eeg_cohort
+    emg = np.asarray(emg_cohort, np.float32) \
+        if not isinstance(emg_cohort, jax.Array) else emg_cohort
+    if eeg.ndim != 3 or emg.ndim != 3:
+        raise ValueError("cohort arrays must be (J, n_samples, n_channels)")
+    if eeg.shape[:2] != emg.shape[:2]:
+        raise ValueError("EEG/EMG cohorts must share (J, n_samples)")
+    J, n_samples, nE = eeg.shape
+    nM = emg.shape[2]
+
+    window_samples = int(window_length_sec * sampling_freq)
+    hop = int(window_samples * (1 - overlap_frac))
+    tapers = filtered_tapers(window_samples, nw, taper_eigenvalue_threshold)
+    K = int(tapers.shape[0])
+    freqs_all = np.fft.rfftfreq(window_samples, d=1.0 / sampling_freq)
+    lo = max(int(np.searchsorted(freqs_all, band[0], side="left")), 1)
+    hi = min(int(np.searchsorted(freqs_all, band[1], side="right")),
+             len(freqs_all) - (1 if window_samples % 2 == 0 else 0))
+    if hi <= lo:
+        raise ValueError(f"band {band} selects no frequency bins")
+    freqs = freqs_all[lo:hi]
+    nF = hi - lo
+
+    if window_starts is None:
+        starts, _ = window_grid(n_samples, window_samples, hop,
+                                sampling_freq, convention="cmc")
+        window_starts = np.tile(starts[None], (J, 1))
+    window_starts = np.asarray(window_starts, np.int64)
+    if window_weights is None:
+        window_weights = np.ones(window_starts.shape, np.float32)
+    window_weights = np.asarray(window_weights, np.float32)
+    W = window_starts.shape[1]
+    wc = int(min(window_chunk, W))
+
+    import time as _time
+    t_pre0 = _time.perf_counter()
+    eeg_d = jnp.asarray(eeg)
+    emg_d = jnp.asarray(emg)
+    starts_d = jnp.asarray(window_starts, jnp.int32)
+    weights_d = jnp.asarray(window_weights)
+    tapers_j = jnp.asarray(tapers, jnp.float32)
+    observed_d = _cohort_msc_map(eeg_d, emg_d, starts_d, weights_d,
+                                 tapers_j, window_samples, lo, hi, wc)
+    spec = jnp.fft.rfft(emg_d, axis=1)          # (J, nf, M), complex64
+    observed = np.asarray(observed_d)
+    observed_flat_d = observed_d.reshape(nF, nE * nM)
+    t_precompute = _time.perf_counter() - t_pre0
+    has_nyquist = n_samples % 2 == 0
+
+    @functools.partial(jax.jit, static_argnames=("chunk",),
+                       donate_argnums=(2,))
+    def null_chunk(key, spec_in, counts, chunk):
+        keys = jax.random.split(key, chunk)
+
+        def one(k):
+            phases = jax.random.uniform(k, (J, spec_in.shape[1]),
+                                        minval=0.0, maxval=2.0 * np.pi)
+            phases = phases.at[:, 0].set(0.0)
+            if has_nyquist:
+                phases = phases.at[:, -1].set(0.0)
+            surr = jnp.fft.irfft(
+                spec_in * jnp.exp(1j * phases)[..., None],
+                n=n_samples, axis=1)
+            m = _cohort_msc_map(eeg_d, surr, starts_d, weights_d,
+                                tapers_j, window_samples, lo, hi, wc)
+            return m.reshape(nF, nE * nM)
+
+        maps = jax.lax.map(one, keys)                     # (chunk, F, N)
+        max_stat = maps.max(axis=(1, 2))
+        counts = counts + (maps >= observed_flat_d[None]).sum(axis=0)
+        return max_stat, counts
+
+    t_null0 = _time.perf_counter()
+    counts = jnp.zeros((nF, nE * nM), jnp.int32)
+    chunk = int(min(surrogate_chunk, n_surrogates))
+    key = jax.random.PRNGKey(seed)
+    max_stats = []
+    n_total = 0
+    while n_total < n_surrogates:
+        key, sub = jax.random.split(key)
+        ms, counts = null_chunk(sub, spec, counts, chunk)
+        max_stats.append(np.asarray(ms))
+        n_total += chunk
+    max_stat = np.concatenate(max_stats)[:n_surrogates]
+    counts_np = np.asarray(counts).reshape(nF, nE, nM)
+    t_null = _time.perf_counter() - t_null0
+    p_unc = (1.0 + counts_np) / (1.0 + n_total)
+    p_fwe = float((1.0 + (max_stat >= observed.max()).sum())
+                  / (1.0 + len(max_stat)))
+    if verbose:
+        print(f"[fft-null] J={J} K={K} F={nF} pairs={nE}x{nM} W={W}: "
+              f"{n_total} surrogates in {t_null:.1f}s")
+
+    return {
+        "observed": observed,
+        "freqs": freqs,
+        "max_stat": max_stat,
+        "null_quantiles": {q: float(np.quantile(max_stat, q))
+                           for q in quantiles},
+        "p_uncorrected": p_unc.astype(np.float32),
+        "p_fwe": p_fwe,
+        "metadata": {
+            "method": "full_fft_phase_randomization",
+            "K_tapers": K,
+            "n_surrogates_drawn": int(n_total),
+            "n_surrogates": int(n_surrogates),
+            "band": tuple(band),
+            "band_bins": (lo, hi),
+            "n_subjects": J,
+            "timings": {"precompute_sec": round(t_precompute, 3),
+                        "null_sec": round(t_null, 3)},
+        },
+    }
 
 
 def _make_sharded_coeffs(mesh, J: int, window_samples: int, band_lo: int,

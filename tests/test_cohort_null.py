@@ -554,3 +554,82 @@ class TestPerWindowRotation:
                                      per_window_max_coef_bytes=16)
         with pytest.raises(ValueError, match="rotation_mode"):
             cohort_msc_rotation_null(eeg, emg, FS, rotation_mode="bogus")
+
+
+class TestFftCohortNull:
+    """Public full-FFT cohort engine (cohort_msc_fft_null) — the exact
+    all-window, higher-power small-scale companion of the rotation
+    engine (the third engine in BENCH_NULL_POWER.json)."""
+
+    def _coupled_cohort(self, seed, J=4, n=33 * 64 + 64, g=0.8,
+                        nE=2, nM=3):
+        rng = np.random.default_rng(seed)
+        eeg, emg = [], []
+        for _ in range(J):
+            shared = rng.standard_normal(n).astype(np.float32)
+            eeg.append(g * shared[:, None]
+                       + rng.standard_normal((n, nE)).astype(np.float32))
+            emg.append(g * shared[:, None]
+                       + rng.standard_normal((n, nM)).astype(np.float32))
+        return np.stack(eeg), np.stack(emg)
+
+    def test_schema_and_detection(self):
+        from mba_tpu.ops.cohort_null import cohort_msc_fft_null
+        eeg, emg = self._coupled_cohort(5)
+        res = cohort_msc_fft_null(eeg, emg, FS, n_surrogates=200,
+                                  window_length_sec=0.5,
+                                  overlap_frac=0.5, band=(8.0, 40.0),
+                                  surrogate_chunk=25, seed=0)
+        F = len(res["freqs"])
+        assert res["observed"].shape == (F, 2, 3)
+        assert res["max_stat"].shape == (200,)
+        assert res["p_uncorrected"].shape == (F, 2, 3)
+        assert res["p_fwe"] < 0.01                  # planted coupling
+        assert res["observed"].max() > res["null_quantiles"][0.99]
+        assert res["metadata"]["method"] == "full_fft_phase_randomization"
+
+    def test_observed_matches_rotation_engine(self):
+        """Both engines evaluate the identical cohort statistic —
+        observed maps must agree to float32 tolerance (all windows)."""
+        from mba_tpu.ops.cohort_null import cohort_msc_fft_null
+        eeg, emg = self._coupled_cohort(6)
+        kw = dict(sampling_freq=FS, window_length_sec=0.5,
+                  overlap_frac=0.5, band=(8.0, 40.0))
+        res_fft = cohort_msc_fft_null(eeg, emg, n_surrogates=8,
+                                      surrogate_chunk=8, **kw)
+        res_rot = cohort_msc_rotation_null(
+            eeg, emg, n_surrogates=8, surrogate_chunk=8,
+            p_value_windows="all", compute_dtype=np.float32, **kw)
+        np.testing.assert_allclose(res_fft["observed"],
+                                   res_rot["observed"],
+                                   rtol=1e-4, atol=1e-6)
+
+    def test_h0_calibration(self):
+        """All overlapping windows enter the inference exactly: H0
+        rejection at nominal alpha (binomial slack at 20 replicates)."""
+        from mba_tpu.ops.cohort_null import cohort_msc_fft_null
+        rej = 0
+        R = 20
+        n = 33 * 64 + 64
+        for r in range(R):
+            rng = np.random.default_rng(4000 + r)
+            eeg = np.stack([rng.standard_normal((n, 1)).astype(np.float32)
+                            for _ in range(4)])
+            emg = np.stack([rng.standard_normal((n, 1)).astype(np.float32)
+                            for _ in range(4)])
+            p = cohort_msc_fft_null(eeg, emg, FS, n_surrogates=100,
+                                    window_length_sec=0.5,
+                                    overlap_frac=0.5, band=(8.0, 40.0),
+                                    surrogate_chunk=50, seed=r)["p_fwe"]
+            rej += p <= 0.05
+        assert rej / R <= 0.2          # 3x alpha + binomial slack
+
+    def test_input_validation(self):
+        from mba_tpu.ops.cohort_null import cohort_msc_fft_null
+        eeg, emg = _toy_subject(30)
+        with pytest.raises(ValueError, match="J, n_samples"):
+            cohort_msc_fft_null(eeg, emg, FS)
+        with pytest.raises(ValueError, match="no frequency bins"):
+            cohort_msc_fft_null(eeg[None], emg[None], FS,
+                                band=(200.0, 300.0),
+                                window_length_sec=0.25)
