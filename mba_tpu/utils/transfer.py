@@ -127,6 +127,10 @@ def upload_quantized(x: np.ndarray, transfer_dtype=np.int16):
     if transfer_dtype is None:
         x = x.astype(np.float32, copy=False)
         return jnp.asarray(x), x.nbytes, 0.0
+    if np.issubdtype(x.dtype, np.integer):
+        raise TypeError(
+            "upload_quantized expects float data; integer ADC counts "
+            "should go through upload_counts (exact, no re-quantization)")
     td = np.dtype(transfer_dtype)
     if td not in _INT_INFO:
         raise ValueError(f"transfer_dtype must be int16/int8/None, got {td}")
@@ -145,3 +149,29 @@ def upload_quantized(x: np.ndarray, transfer_dtype=np.int16):
     # round-half-even ⇒ ≤ half a step; steps are peak/full per channel
     err_bound = 0.5 * float(scale.max())
     return x_dev, n_bytes, err_bound
+
+
+def upload_counts(counts: np.ndarray, scale) -> tuple[jax.Array, int]:
+    """Upload integer ADC counts verbatim and scale to float ON DEVICE.
+
+    The EXACT transfer leg for data that is born integer — OTB4 ``.sig``
+    streams are int16/int32 ADC counts (io/otb4.py,
+    reference otb_file_handling.py:337-425) — so unlike
+    :func:`upload_quantized` there is no quantization step and no error
+    bound: ``result == counts * scale`` in float32, bit-exact.
+
+    counts : integer array, channels on the trailing axis (any leading
+        shape; a C-contiguous ``(n_samples, n_channels)`` view of the
+        tar member bytes uploads with zero host copies).
+    scale : scalar or broadcastable array (e.g. the per-channel
+        ``mv_per_count`` factors from ``read_otb4(raw_counts=True)``,
+        times 1e-3 for volts).
+
+    Returns ``(x_dev_f32, n_bytes_uploaded)``.
+    """
+    counts = np.asarray(counts)
+    if not np.issubdtype(counts.dtype, np.integer):
+        raise TypeError(f"counts must be integer, got {counts.dtype}")
+    scale = np.asarray(scale, np.float32)
+    x_dev = _dequant_on_device(jnp.asarray(counts), jnp.asarray(scale))
+    return x_dev, counts.nbytes + scale.nbytes

@@ -106,6 +106,11 @@ class TestUploadQuantized:
         np.testing.assert_array_equal(np.asarray(x_dev), x)
         assert n == x.nbytes and bound == 0.0
 
+    def test_rejects_integer_input(self):
+        counts = np.ones((64, 4), np.int16)
+        with pytest.raises(TypeError, match="upload_counts"):
+            upload_quantized(counts, np.int16)
+
     def test_amplitude_threshold_grade(self):
         # the preprocessor's 3 mV annotation must see identical
         # verdicts: quantization error is ~1e-4 of a 10 mV peak

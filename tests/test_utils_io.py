@@ -181,6 +181,26 @@ class TestOtb4:
         expected = counts.astype(np.float32) * 2.4 / 2 ** 16 * 1000 / 2.0
         np.testing.assert_allclose(data, expected, rtol=1e-6)
 
+    def test_raw_counts_matches_float_path(self, tmp_path):
+        """raw_counts=True returns the verbatim int16 ADC matrix plus
+        per-channel mV factors whose product is bit-identical to the
+        default float path."""
+        p = tmp_path / "rec.otb4"
+        raw, gain, bits, adc_range, fs = _make_otb4(p)
+        full = read_otb4(p)
+        parsed = read_otb4(p, raw_counts=True)
+        name, counts, got_fs = parsed["signals"][0]
+        assert counts.dtype == np.int16 and got_fs == fs
+        np.testing.assert_array_equal(counts, raw)
+        factors = parsed["mv_per_count"][0]
+        assert factors.dtype == np.float32 and factors.shape == (8,)
+        np.testing.assert_array_equal(
+            counts.astype(np.float32) * factors[:, None],
+            full["signals"][0][1])
+        # the transposed (n_samples, n_ch) orientation is a C-contiguous
+        # zero-copy view of the tar member bytes — free to upload
+        assert counts.T.flags.c_contiguous
+
     def test_write_roundtrip_float_mv(self, tmp_path):
         """Float input is interpreted as mV and quantized to counts with
         the inverse conversion; round-trip error ≤ half an ADC step."""
@@ -280,6 +300,19 @@ class TestOtb4Novecento:
         expected = raw * adc_range / 2 ** bits * 1000.0 / gain
         np.testing.assert_allclose(data, expected.astype(np.float32),
                                    rtol=1e-6)
+
+    def test_int32_raw_counts(self, tmp_path):
+        p = tmp_path / "nov.otb4"
+        raw, gain, bits, adc_range, fs = _make_otb4_novecento(p)
+        full = read_otb4(p)
+        parsed = read_otb4(p, raw_counts=True)
+        name, counts, got_fs = parsed["signals"][0]
+        assert counts.dtype == np.int32
+        np.testing.assert_array_equal(counts, raw)
+        factors = parsed["mv_per_count"][0]
+        np.testing.assert_array_equal(
+            counts.astype(np.float32) * factors[:, None],
+            full["signals"][0][1])
 
 
 class TestDecorators:
