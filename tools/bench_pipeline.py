@@ -147,7 +147,8 @@ def main():
     import jax
     from mba_tpu.io.otb4 import write_otb4, read_otb4
     from mba_tpu.utils.profiling import hard_sync
-    from mba_tpu.utils.transfer import download_quantized, upload_quantized
+    from mba_tpu.utils.transfer import (download_quantized, upload_counts,
+                                        upload_quantized)
     from mba_tpu.pipeline.preprocessing import BiosignalPreprocessor
     from mba_tpu.pipeline import signal_features as features
     from mba_tpu.pipeline.cbpa import CMC_EEG_CHANNEL_SUBSET
@@ -177,10 +178,17 @@ def main():
         write_otb4(p1, emg1.T, FS)          # ADC-quantized int16 archive
         write_otb4(p2, emg2.T, FS)
         t0 = time.perf_counter()
-        # reader returns mV; the cascade (like the reference's MNE
-        # RawArray path) works in volts
-        emg1_mv = read_otb4(p1)["signals"][0][1].T * 1e-3   # (n, C) V
-        emg2_mv = read_otb4(p2)["signals"][0][1].T * 1e-3
+        # TPU-first import: zero-copy int16 ADC counts (raw_counts=True)
+        # — no host float materialization; the mV→V scaling is fused
+        # into the on-device dequant at upload time (upload_counts), so
+        # the values the cascade sees are EXACT (no re-quantization of
+        # a host float copy)
+        r1 = read_otb4(p1, raw_counts=True)
+        r2 = read_otb4(p2, raw_counts=True)
+        emg1_counts = r1["signals"][0][1].T       # (n, C) zero-copy view
+        emg2_counts = r2["signals"][0][1].T
+        emg1_vpc = r1["mv_per_count"][0] * np.float32(1e-3)  # V/count
+        emg2_vpc = r2["mv_per_count"][0] * np.float32(1e-3)
         stages["s1_otb4_import_sec"] = round(time.perf_counter() - t0, 2)
         log(f"[s1] otb4 import 2×{N_EMG}ch×{rec_sec/60:.0f}min: "
             f"{stages['s1_otb4_import_sec']}s")
@@ -265,13 +273,15 @@ def main():
         del prep, ica
 
         t0 = time.perf_counter()
-        emg1_d, nb1, _ = upload_quantized(emg1_mv, np.int16)
+        # exact upload: the archive's int16 counts ride the link
+        # verbatim (same bytes as the quantized leg, zero error)
+        emg1_d, nb1 = upload_counts(emg1_counts, emg1_vpc[None, :])
         emg1_clean = BiosignalPreprocessor(
             emg1_d, int(FS), "emg",
             n_ica_components=None, automatic_ic_labelling=False,
             wavelet_type=None, laplacian_filter_neighbor_radius=None,
             device_resident=True).np_output_data
-        emg2_d, nb2, _ = upload_quantized(emg2_mv, np.int16)
+        emg2_d, nb2 = upload_counts(emg2_counts, emg2_vpc[None, :])
         emg2_clean = BiosignalPreprocessor(
             emg2_d, int(FS), "emg",
             n_ica_components=None, automatic_ic_labelling=False,
@@ -281,7 +291,7 @@ def main():
         detail["s2_emg_upload_bytes"] = int(nb1 + nb2)
         stages["s2_emg_cascade_sec"] = round(time.perf_counter() - t0, 2)
         log(f"[s2] EMG cascades: {stages['s2_emg_cascade_sec']}s")
-        del emg1, emg2, emg1_mv, emg2_mv
+        del emg1, emg2, emg1_counts, emg2_counts
 
         # ── stage 3: feature extraction ───────────────────────────────
         # compute stays device-resident; the host download of the big
