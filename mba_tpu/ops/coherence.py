@@ -392,9 +392,16 @@ def multitaper_msc(
         if quantized_td:
             from mba_tpu.utils.transfer import download_quantized
             compact, dl_bytes = {}, 0
+            td = np.dtype(transfer_dtype)
             for key, val in device_out.items():
+                # reduce over the window axis only when the
+                # per-(freq, eeg[, emg]) scale sidecars (2·4 bytes/lane)
+                # stay under 10 % of the integer payload — tighter
+                # per-lane spans at study scale, plain per-channel lanes
+                # for tiny window counts
+                fine = 8.0 <= 0.1 * td.itemsize * val.shape[0]
                 host, n_bytes, _ = download_quantized(
-                    val, np.dtype(transfer_dtype))
+                    val, td, lane_ndim=val.ndim - 1 if fine else 1)
                 compact[key] = host[:n_active]
                 dl_bytes += n_bytes
         else:

@@ -365,9 +365,20 @@ def compute_task_wise_aggregated_cmc(
 # --------------------------------------------------------------------------
 def save_spectrograms(spectrograms: np.ndarray, time_centers: np.ndarray,
                       frequencies: np.ndarray, modality: str,
-                      save_dir: str | Path, identifier_suffix: str = ""):
-    """Persist (spectrograms, timecenters, frequencies) triplet (ref :1033)."""
+                      save_dir: str | Path, identifier_suffix: str = "",
+                      save_dtype=None):
+    """Persist (spectrograms, timecenters, frequencies) triplet (ref :1033).
+
+    ``save_dtype`` (e.g. ``np.float16``) casts the big spectrogram array
+    before writing — halves the disk bytes and write time for log10 PSD
+    artifacts whose values fit comfortably in f16 (|log10 PSD| < 20 ⇒
+    abs error ≤ ~0.01 log units); ``np.load`` consumers upcast
+    transparently.  Default ``None`` keeps the input dtype (float32,
+    the reference's on-disk format, signal_features.py:710-713).
+    """
     save_dir = Path(save_dir)
+    if save_dtype is not None:
+        spectrograms = np.asarray(spectrograms, dtype=save_dtype)
     diffs = np.diff(time_centers)
     step = np.nanmin(np.where(diffs > 0, diffs, np.nan)) if len(diffs) \
         else 0.0
@@ -395,6 +406,10 @@ def fetch_stored_spectrograms(dir: Path | str, modality: str,
            else file_identifier if file_identifier is not None else [])
     spectrograms = np.load(filemgmt.most_recent_file(
         dir, ".npy", [modality, "Spectrograms"] + ids))
+    if spectrograms.dtype == np.float16:
+        # storage-only dtype (save_spectrograms save_dtype=f16):
+        # upcast so downstream reductions accumulate in f32
+        spectrograms = spectrograms.astype(np.float32)
     if expected_n_channels is not None and spectrograms.ndim >= 3:
         if spectrograms.shape[2] != expected_n_channels:
             raise ValueError(

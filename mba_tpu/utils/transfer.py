@@ -42,17 +42,22 @@ _INT_INFO = {
 }
 
 
-@functools.partial(jax.jit, static_argnames=("int_dtype", "levels"))
-def _quantize_on_device(x, int_dtype, levels):
+@functools.partial(jax.jit,
+                   static_argnames=("int_dtype", "levels", "lane_ndim"))
+def _quantize_on_device(x, int_dtype, levels, lane_ndim=1):
     """Affine per-lane quantization over the leading axes.
 
     x : (..., C) float array — statistics are taken over all axes but
-    the last, so each trailing-axis lane (channel) gets its own
-    scale/offset and one pathological channel cannot destroy the
-    precision of the others.
+    the trailing ``lane_ndim``, so each trailing lane (channel, or
+    (freq, channel) cell at ``lane_ndim=2``) gets its own scale/offset
+    and one pathological lane cannot destroy the precision of the
+    others.  Finer lanes shrink the per-lane span — e.g. a log-PSD
+    spectrogram's per-channel span is ~10 log units but its
+    per-(freq, channel) span over windows is ~1-3, which is what makes
+    the int8 payload (quarter bytes) usable for artifacts.
     """
     xf = x.astype(jnp.float32)
-    reduce_axes = tuple(range(xf.ndim - 1))
+    reduce_axes = tuple(range(xf.ndim - lane_ndim))
     lo = jnp.min(xf, axis=reduce_axes)
     hi = jnp.max(xf, axis=reduce_axes)
     span = jnp.maximum(hi - lo, jnp.finfo(jnp.float32).tiny)
@@ -63,23 +68,29 @@ def _quantize_on_device(x, int_dtype, levels):
     return q, scale, lo
 
 
-def download_quantized(x_dev, transfer_dtype=np.int16):
-    """Download a float device array as per-channel-quantized integers.
+def download_quantized(x_dev, transfer_dtype=np.int16, lane_ndim: int = 1):
+    """Download a float device array as per-lane-quantized integers.
 
     Returns ``(host_f32, n_bytes_downloaded, max_abs_err_bound)`` where
     ``host_f32`` is the dequantized float32 array with the same shape as
     ``x_dev``, ``n_bytes_downloaded`` counts the integer payload plus
     the scale/offset sidecars, and ``max_abs_err_bound`` is the
     worst-case per-element absolute error (half a quantization step,
-    maxed over channels; exact-arithmetic bound — f32 rounding in the
+    maxed over lanes; exact-arithmetic bound — f32 rounding in the
     quantize/dequantize chain can add a few percent of a step on top).
 
-    The trailing axis is the channel axis (matching the
-    ``(n_windows, n_freqs, n_channels)`` spectrogram layout and the
-    ``(windows, freqs, eeg, emg)`` coherence layout — for the latter the
-    EMG axis is the lane).  Pass ``transfer_dtype=None`` to fall through
-    to a plain f32 download (same return contract) so callers can keep
-    one code path.
+    ``lane_ndim`` trailing axes form the lane grid; min/max reduce over
+    the leading axes only.  ``lane_ndim=1`` (default) matches the
+    ``(n_windows, n_freqs, n_channels)`` spectrogram layout with one
+    scale per channel; ``lane_ndim=x_dev.ndim-1`` reduces over the
+    window axis only — per-(freq, channel) scales cost a sidecar of
+    ``2·F·C`` floats (~0.5 MB at study scale, vs a ~0.9 GB payload) and
+    cut the per-lane span ~5×, which is what makes the int8 payload
+    accurate enough for saved artifacts (measured ≤ ~0.004 log10 units
+    ≈ 1 % linear power worst case on a study-scale log-PSD, vs ~4 %
+    with per-channel lanes).  Pass ``transfer_dtype=None`` to fall
+    through to a plain f32 download (same return contract) so callers
+    can keep one code path.
     """
     if transfer_dtype is None:
         host = np.asarray(x_dev, dtype=np.float32)
@@ -87,8 +98,15 @@ def download_quantized(x_dev, transfer_dtype=np.int16):
     td = np.dtype(transfer_dtype)
     if td not in _INT_INFO:
         raise ValueError(f"transfer_dtype must be int16/int8/None, got {td}")
+    if lane_ndim < 1:
+        raise ValueError(f"lane_ndim must be >= 1, got {lane_ndim}")
+    if lane_ndim >= np.ndim(x_dev):
+        raise ValueError(
+            f"lane_ndim={lane_ndim} must be < array ndim "
+            f"{np.ndim(x_dev)} (at least one axis must reduce)")
     int_dtype, levels = _INT_INFO[td]
-    q, scale, lo = _quantize_on_device(jnp.asarray(x_dev), int_dtype, levels)
+    q, scale, lo = _quantize_on_device(jnp.asarray(x_dev), int_dtype, levels,
+                                       lane_ndim)
     # one bulk integer download + two tiny vectors
     q_host = np.asarray(q)
     scale_host = np.asarray(scale)

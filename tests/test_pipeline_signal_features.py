@@ -120,6 +120,26 @@ class TestTaskWiseCmc:
                                          expected_n_channels=5)
 
 
+class TestSpectrogramF16Storage:
+    def test_save_f16_fetch_upcasts(self, tmp_path):
+        rng = np.random.default_rng(0)
+        spec = rng.uniform(-12.0, 3.0, (6, 17, 4)).astype(np.float32)
+        tc = np.linspace(0.5, 5.5, 6)
+        fr = np.linspace(0, 256, 17)
+        sf.save_spectrograms(spec, tc, fr, "PSD", save_dir=tmp_path,
+                             identifier_suffix="f16case",
+                             save_dtype=np.float16)
+        got, gt, gf = sf.fetch_stored_spectrograms(tmp_path, "PSD",
+                                                   file_identifier="f16case")
+        # loader upcasts the storage dtype so downstream reductions
+        # accumulate in f32; values carry only the f16 rounding
+        assert got.dtype == np.float32
+        np.testing.assert_allclose(got, spec, atol=0.01)
+        assert np.abs(got - spec).max() > 0          # really went f16
+        np.testing.assert_allclose(gt, tc)
+        np.testing.assert_allclose(gf, fr)
+
+
 class TestAggregators:
     def test_band_aggregation_mean_and_max(self):
         freqs = np.linspace(0, 100, 101)

@@ -48,6 +48,29 @@ class TestDownloadQuantized:
         # channels 0-2 keep coherence-grade precision
         assert np.abs(host[..., :3] - x[..., :3]).max() < 1e-4
 
+    def test_lane_ndim_tightens_int8(self):
+        # per-(freq, channel) lanes (reduce over windows only) must cut
+        # the int8 error by the span ratio — this is what makes int8
+        # usable for saved log-PSD artifacts
+        x = self._spectrogram_like(5)
+        x += np.linspace(0, 20, x.shape[1])[None, :, None].astype(np.float32)
+        h1, n1, b1 = download_quantized(jnp.asarray(x), np.int8)
+        h2, n2, b2 = download_quantized(jnp.asarray(x), np.int8, lane_ndim=2)
+        assert b2 < b1
+        assert np.abs(h2 - x).max() <= b2 * 1.02
+        # per-(F, C) spans here are ≤ the window-axis span (26 units),
+        # vs the per-channel span of ~46 after the freq ramp
+        assert np.abs(h2 - x).max() < np.abs(h1 - x).max()
+        # sidecar: 2·F·C f32 extra vs payload
+        assert n2 - n1 == 2 * (x.shape[1] - 1) * x.shape[2] * 4
+
+    def test_lane_ndim_validation(self):
+        x = jnp.zeros((4, 8, 2))
+        with pytest.raises(ValueError, match="lane_ndim"):
+            download_quantized(x, np.int16, lane_ndim=0)
+        with pytest.raises(ValueError, match="lane_ndim"):
+            download_quantized(x, np.int16, lane_ndim=3)
+
     def test_extremes_exact(self):
         # per-channel min and max must round-trip exactly (affine endpoints)
         rng = np.random.default_rng(4)

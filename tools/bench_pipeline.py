@@ -84,16 +84,18 @@ def synth_subject(seed=0):
         ecg[beat:beat + w] += np.hanning(w)[:len(ecg[beat:beat + w])] * 3
     line = np.sin(2 * np.pi * 50.0 * t).astype(np.float32)
 
-    # volt-scale EEG (tens of µV) so the reference-default 3 mV
-    # amplitude threshold annotates artifacts without flagging every
-    # channel bad
-    eeg = rng.standard_normal((n, N_EEG), dtype=np.float32) * 1e-5
-    eeg += 4e-6 * drive[:, None] * rng.uniform(0.3, 1.0, N_EEG)[None, :]
+    # mV-scale EEG (tens of µV = 1e-2 mV) — the reference pipeline's
+    # working unit: its otb4 CSVs are mV and feed MNE/PSD unscaled
+    # (reference preprocessing_workflow.py:61-76, signal_features.py:437).
+    # In volts the log-PSD would sit on the parity 1e-10 epsilon and the
+    # saved spectrogram artifact would carry no information.
+    eeg = rng.standard_normal((n, N_EEG), dtype=np.float32) * 1e-2
+    eeg += 4e-3 * drive[:, None] * rng.uniform(0.3, 1.0, N_EEG)[None, :]
     front = np.zeros(N_EEG, np.float32)
-    front[:4] = [5e-5, 5e-5, 3e-5, 3e-5]            # Fp1/Fpz/Fp2/AF7 zone
+    front[:4] = [5e-2, 5e-2, 3e-2, 3e-2]            # Fp1/Fpz/Fp2/AF7 zone
     eeg += blink[:, None] * front[None, :]
-    eeg += ecg[:, None] * rng.uniform(1e-6, 4e-6, N_EEG)[None, :]
-    eeg += 2e-6 * line[:, None] * rng.uniform(0.5, 1.5, N_EEG)[None, :]
+    eeg += ecg[:, None] * rng.uniform(1e-3, 4e-3, N_EEG)[None, :]
+    eeg += 2e-3 * line[:, None] * rng.uniform(0.5, 1.5, N_EEG)[None, :]
 
     def emg_like(gain):
         x = rng.standard_normal((n, N_EMG), dtype=np.float32) * 0.05
@@ -179,16 +181,16 @@ def main():
         write_otb4(p2, emg2.T, FS)
         t0 = time.perf_counter()
         # TPU-first import: zero-copy int16 ADC counts (raw_counts=True)
-        # — no host float materialization; the mV→V scaling is fused
-        # into the on-device dequant at upload time (upload_counts), so
-        # the values the cascade sees are EXACT (no re-quantization of
-        # a host float copy)
+        # — no host float materialization; the counts→mV scaling is
+        # fused into the on-device dequant at upload time
+        # (upload_counts), so the values the cascade sees are EXACT (no
+        # re-quantization of a host float copy)
         r1 = read_otb4(p1, raw_counts=True)
         r2 = read_otb4(p2, raw_counts=True)
         emg1_counts = r1["signals"][0][1].T       # (n, C) zero-copy view
         emg2_counts = r2["signals"][0][1].T
-        emg1_vpc = r1["mv_per_count"][0] * np.float32(1e-3)  # V/count
-        emg2_vpc = r2["mv_per_count"][0] * np.float32(1e-3)
+        emg1_vpc = r1["mv_per_count"][0]          # mV/count (the
+        emg2_vpc = r2["mv_per_count"][0]          # pipeline unit)
         stages["s1_otb4_import_sec"] = round(time.perf_counter() - t0, 2)
         log(f"[s1] otb4 import 2×{N_EMG}ch×{rec_sec/60:.0f}min: "
             f"{stages['s1_otb4_import_sec']}s")
@@ -199,7 +201,7 @@ def main():
         # over the link — measured 178 s filter / 384 s ICA-apply on
         # this tunnel before the mode existed)
         # int16 per-channel quantized upload (utils/transfer.py): half
-        # the link bytes; error ≤ 2^-16 of each channel's peak (volts
+        # the link bytes; error ≤ 2^-16 of each channel's peak (mV
         # here) — orders of magnitude below the 3 mV amplitude threshold
         t0 = time.perf_counter()
         eeg_d, up_bytes, up_err = upload_quantized(eeg, np.int16)
@@ -210,6 +212,7 @@ def main():
         prep = BiosignalPreprocessor(
             eeg_d, int(FS), "eeg", n_ica_components=N_ICA,
             automatic_ic_labelling=True, wavelet_type=None,
+            amplitude_rejection_threshold=3.0,    # 3 mV in mV units
             device_resident=True)
         t0 = time.perf_counter()
         hard_sync(prep.np_filtered_data)
@@ -280,13 +283,15 @@ def main():
             emg1_d, int(FS), "emg",
             n_ica_components=None, automatic_ic_labelling=False,
             wavelet_type=None, laplacian_filter_neighbor_radius=None,
-            device_resident=True).np_output_data
+            amplitude_rejection_threshold=3.0, device_resident=True,
+            ).np_output_data
         emg2_d, nb2 = upload_counts(emg2_counts, emg2_vpc[None, :])
         emg2_clean = BiosignalPreprocessor(
             emg2_d, int(FS), "emg",
             n_ica_components=None, automatic_ic_labelling=False,
             wavelet_type=None, laplacian_filter_neighbor_radius=None,
-            device_resident=True).np_output_data
+            amplitude_rejection_threshold=3.0, device_resident=True,
+            ).np_output_data
         hard_sync(emg1_clean, emg2_clean)
         detail["s2_emg_upload_bytes"] = int(nb1 + nb2)
         stages["s2_emg_cascade_sec"] = round(time.perf_counter() - t0, 2)
@@ -316,21 +321,28 @@ def main():
             hard_sync(s_dev)
             t_psd_comp += time.perf_counter() - t0
             t0 = time.perf_counter()
-            # per-lane int16 quantized download (utils/transfer.py):
-            # half the link bytes; ≤ ~2.5e-4 log10-unit error on the
-            # log-scaled spectrogram, ~0.06 % linear power — far below
-            # inter-window variance.  The tunneled link (~4-25 MB/s) is
-            # the stage's bottleneck, not the TPU compute.
-            s_host, n_bytes, q_err = download_quantized(s_dev, np.int16)
+            # int8 payload with per-(freq, channel) scales
+            # (lane_ndim=2): quarter the f32 link bytes; the per-lane
+            # span over windows is ~1-3 log10 units, so the worst-case
+            # element error is ≤ ~0.006 log10 units (~1.5 % linear
+            # power) — recorded below, and far below inter-window
+            # variance.  The tunneled link (~4-25 MB/s) is the stage's
+            # bottleneck, not the TPU compute.
+            s_host, n_bytes, q_err = download_quantized(s_dev, np.int8,
+                                                        lane_ndim=2)
             t_psd_down += time.perf_counter() - t0
             psd_mb += n_bytes / 1e6
             detail[f"s3_psd_{modality}_quant_err_log10"] = float(
                 f"{q_err:.2e}")
             del s_dev
             t0 = time.perf_counter()
+            # f16 on disk: halves the write bytes; abs error ≤ ~0.005
+            # log10 units at these magnitudes — same order as the int8
+            # link quantization already accepted above
             features.save_spectrograms(s_host, tc_, fr_, "PSD",
                                        save_dir=feat_dir,
-                                       identifier_suffix=modality)
+                                       identifier_suffix=modality,
+                                       save_dtype=np.float16)
             t_psd_save += time.perf_counter() - t0
             del s_host
         t_psd = t_psd_comp + t_psd_down + t_psd_save
