@@ -1,0 +1,131 @@
+"""MXU-decomposed real FFT: Cooley-Tukey as two matmul stages.
+
+XLA's TPU FFT lowering is a vector-unit codepath that reaches only a
+few percent of the chip's arithmetic roof, and every hot kernel in this
+framework (multitaper PSD, the CSD/coherence core, the rotation-null
+coefficient pass) spends most of its device time in batched rFFTs of a
+fixed power-of-2 window length.  The MXU-native alternative is the
+classic split-radix-by-matmul factorization: for ``n = n1 * n2``
+
+    X[k1 + n1*k2] = sum_j2 [ F2[j2, k2] * W[k1, j2]
+                     * sum_j1 F1[k1, j1] * x[n2*j1 + j2] ]
+
+i.e. a length-``n1`` DFT as a matmul over the reshaped ``(n1, n2)``
+input, an elementwise twiddle, and a length-``n2`` DFT as a second
+matmul — O(n*(n1+n2)) flops instead of O(n log n), but on the 128x128
+systolic array instead of the VPU.  At window lengths 1k-8k the ~15x
+flop overhead buys a far larger throughput factor (the matmuls run at
+tens of TFLOP/s; measured A/B lives in ``BENCH_FFTMM.json``).
+
+Only the onesided (rfft) spectrum is materialized: stage 2 evaluates
+``k2 in [0, n2/2]`` so ~half the second matmul is skipped.  All
+arithmetic is f32 real matmuls (complex is carried as explicit
+real/imag pairs — axon TPUs cannot even transfer complex64, and real
+matmuls give XLA full freedom to fuse the twiddle).
+
+No reference counterpart: the reference runs ``scipy``/``numpy`` FFTs
+on the host (signal_features.py:743-748); this module exists purely to
+map the same transform onto TPU hardware.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def _split(n: int) -> tuple[int, int]:
+    """Pick (n1, n2) with n = n1*n2, both powers of 2, n1 >= n2.
+
+    The stage-1 contraction is over n1 (wants a full 128 sublane tile),
+    the stage-2 contraction over n2; favour n1 = 128 when possible.
+    """
+    if n & (n - 1) or n < 4:
+        raise ValueError(f"rfft_mxu needs a power-of-2 length >= 4, got {n}")
+    log = n.bit_length() - 1
+    n1 = 1 << ((log + 1) // 2)
+    if n >= 1024:
+        n1 = max(n1, min(128, n // 8))
+    return n1, n // n1
+
+
+@functools.lru_cache(maxsize=8)
+def _factors(n: int):
+    """Constant DFT/twiddle factor tables for length n (host, cached)."""
+    n1, n2 = _split(n)
+    j1 = np.arange(n1)
+    # stage 1: F1[k1, j1] = exp(-2i*pi*k1*j1/n1)
+    ang1 = -2.0 * np.pi * np.outer(j1, j1) / n1
+    c1 = np.cos(ang1).astype(np.float32)
+    s1 = np.sin(ang1).astype(np.float32)
+    # twiddle: W[k1, j2] = exp(-2i*pi*k1*j2/n)
+    j2 = np.arange(n2)
+    angw = -2.0 * np.pi * np.outer(j1, j2) / n
+    wr = np.cos(angw).astype(np.float32)
+    wi = np.sin(angw).astype(np.float32)
+    # stage 2 (onesided): F2[j2, k2] = exp(-2i*pi*j2*k2/n2), k2 <= n2/2
+    k2 = np.arange(n2 // 2 + 1)
+    ang2 = -2.0 * np.pi * np.outer(j2, k2) / n2
+    c2 = np.cos(ang2).astype(np.float32)
+    s2 = np.sin(ang2).astype(np.float32)
+    return n1, n2, c1, s1, wr, wi, c2, s2
+
+
+@functools.partial(jax.jit, static_argnames=("n", "axis"))
+def _rfft_mxu_jit(x, n: int, axis: int):
+    n1, n2, c1, s1, wr, wi, c2, s2 = _factors(n)
+    x = jnp.moveaxis(x, axis, -1).astype(jnp.float32)
+    batch = x.shape[:-1]
+    xr = x.reshape(batch + (n1, n2))        # x[j1, j2] = x[n2*j1 + j2]
+    # stage 1: contract j1 (real input -> complex out as two matmuls)
+    yr = jnp.einsum("kj,...jn->...kn", c1, xr,
+                    preferred_element_type=jnp.float32)
+    yi = jnp.einsum("kj,...jn->...kn", s1, xr,
+                    preferred_element_type=jnp.float32)
+    # twiddle (elementwise; XLA fuses into the surrounding matmuls)
+    zr = yr * wr - yi * wi
+    zi = yr * wi + yi * wr
+    # stage 2: contract j2, onesided k2
+    xr2 = jnp.einsum("...kj,jm->...km", zr, c2,
+                     preferred_element_type=jnp.float32) \
+        - jnp.einsum("...kj,jm->...km", zi, s2,
+                     preferred_element_type=jnp.float32)
+    xi2 = jnp.einsum("...kj,jm->...km", zr, s2,
+                     preferred_element_type=jnp.float32) \
+        + jnp.einsum("...kj,jm->...km", zi, c2,
+                     preferred_element_type=jnp.float32)
+    # reorder k = k1 + n1*k2: (..., k1, k2) -> (..., k2, k1) -> flat
+    out_r = jnp.swapaxes(xr2, -1, -2).reshape(batch + (n1 * (n2 // 2 + 1),))
+    out_i = jnp.swapaxes(xi2, -1, -2).reshape(batch + (n1 * (n2 // 2 + 1),))
+    out_r = out_r[..., :n // 2 + 1]
+    out_i = out_i[..., :n // 2 + 1]
+    out = jax.lax.complex(out_r, out_i)
+    return jnp.moveaxis(out, -1, axis)
+
+
+def rfft_mxu(x, axis: int = -1):
+    """Onesided FFT of real input via MXU matmuls — drop-in for
+    ``jnp.fft.rfft(x, axis=axis)`` at power-of-2 lengths.
+
+    f32 matmul arithmetic end to end; max abs error vs the reference
+    FFT is ~1e-4 of the spectral peak at n=4096 (tested), i.e. the same
+    order as f32 FFT round-off itself.
+    """
+    n = x.shape[axis]
+    ax = axis if axis >= 0 else x.ndim + axis
+    return _rfft_mxu_jit(x, n, ax)
+
+
+def use_mxu_fft() -> bool:
+    """Default policy: MXU decomposition on real TPU backends only.
+
+    On CPU (tests, virtual meshes) XLA's pocketfft-backed rfft is
+    faster than 15x-flops matmuls; on TPU the matmul path wins by an
+    order of magnitude (BENCH_FFTMM.json).
+    """
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
