@@ -123,7 +123,9 @@ def phase_features(phi: jnp.ndarray) -> jnp.ndarray:
 
 def _rotation_coeffs_body(eeg, emg, starts, weights, tapers,
                           window_samples: int, band_lo: int, band_hi: int,
-                          window_chunk: int, per_window: bool = False):
+                          window_chunk: int, per_window: bool = False,
+                          use_pallas: bool = False,
+                          pallas_interpret: bool = False):
     """Per-subject rotation-null coefficients (traceable body).
 
     Returns (base, coef):
@@ -238,10 +240,50 @@ def _rotation_coeffs_body(eeg, emg, starts, weights, tapers,
         return base.reshape(nF, nE, nM), \
             jnp.moveaxis(coefw, 1, -1)                    # (Wp, F, N, P)
 
-    C0 = (jnp.zeros((nF, nN), jnp.float32),
-          jnp.zeros((nP2, nF, nN), jnp.float32),
-          jnp.zeros((nP2, nF, nN), jnp.float32))
-    (diag, pr, pi), _ = jax.lax.scan(body, C0, (starts_c, weights_c))
+    if use_pallas:
+        # fused Pallas pair pass (ops/pallas_coeffs.py): the normalized
+        # taper products never hit HBM — profiled 1.21 s → ~0.15 s per
+        # study-scale subject for the pair stage.  Frequency rides the
+        # lane axis inside the kernel; transpose back once at the end.
+        from mba_tpu.ops.pallas_coeffs import (F_TILE, _round_up,
+                                               coeff_chunk_pallas)
+        Fp = _round_up(nF, F_TILE)
+
+        def cw_body_pallas(cs, wts):
+            ef = frame_signal(eeg, cs, window_samples).astype(jnp.float32)
+            mf = frame_signal(emg, cs, window_samples).astype(jnp.float32)
+            # frequency-minor layout: taper in (wc, K, C, S), rfft over
+            # the trailing sample axis
+            Et = jnp.swapaxes(ef, 1, 2)[:, None] \
+                * tapers[None, :, None, :]               # (wc, K, E, S)
+            Mt = jnp.swapaxes(mf, 1, 2)[:, None] \
+                * tapers[None, :, None, :]               # (wc, K, M, S)
+            Ef = jnp.fft.rfft(Et, axis=-1)[..., band_lo:band_hi]
+            Mf = jnp.fft.rfft(Mt, axis=-1)[..., band_lo:band_hi]
+            fpad = [(0, 0)] * 3 + [(0, Fp - nF)]
+            return coeff_chunk_pallas(
+                jnp.pad(Ef.real, fpad), jnp.pad(Ef.imag, fpad),
+                jnp.pad(Mf.real, fpad), jnp.pad(Mf.imag, fpad),
+                wts, tuple(int(k) for k in ks), tuple(int(l) for l in ls),
+                _F32_TINY, interpret=pallas_interpret)
+
+        def body_pallas(carry, cw):
+            d, r, i = cw_body_pallas(*cw)
+            return (carry[0] + d, carry[1] + r, carry[2] + i), None
+
+        C0p = (jnp.zeros((nN, Fp), jnp.float32),
+               jnp.zeros((nP2, nN, Fp), jnp.float32),
+               jnp.zeros((nP2, nN, Fp), jnp.float32))
+        (diagT, prT, piT), _ = jax.lax.scan(body_pallas, C0p,
+                                            (starts_c, weights_c))
+        diag = diagT[:, :nF].T                           # (F, N)
+        pr = jnp.moveaxis(prT[..., :nF], -1, 1)          # (P/2, F, N)
+        pi = jnp.moveaxis(piT[..., :nF], -1, 1)
+    else:
+        C0 = (jnp.zeros((nF, nN), jnp.float32),
+              jnp.zeros((nP2, nF, nN), jnp.float32),
+              jnp.zeros((nP2, nF, nN), jnp.float32))
+        (diag, pr, pi), _ = jax.lax.scan(body, C0, (starts_c, weights_c))
 
     base = diag / wsum                                       # (F, N)
     coef = jnp.concatenate([2.0 * pr, -2.0 * pi], axis=0) / wsum
@@ -251,8 +293,8 @@ def _rotation_coeffs_body(eeg, emg, starts, weights, tapers,
 
 _subject_rotation_coeffs = functools.partial(
     jax.jit, static_argnames=("window_samples", "band_lo", "band_hi",
-                              "window_chunk",
-                              "per_window"))(_rotation_coeffs_body)
+                              "window_chunk", "per_window", "use_pallas",
+                              "pallas_interpret"))(_rotation_coeffs_body)
 
 
 @functools.partial(jax.jit, static_argnames=("J",))
@@ -289,10 +331,11 @@ def _pipelined_epilogue(bases, coefs):
 
 @functools.partial(jax.jit,
                    static_argnames=("window_samples", "band_lo", "band_hi",
-                                    "window_chunk"))
+                                    "window_chunk", "use_pallas"))
 def _cohort_rotation_coeffs(eeg, emg, starts, weights, tapers,
                             window_samples: int, band_lo: int,
-                            band_hi: int, window_chunk: int):
+                            band_hi: int, window_chunk: int,
+                            use_pallas: bool = False):
     """All-subject rotation coefficients in ONE program.
 
     eeg: (J, n, E), emg: (J, n, M) — any real dtype (cast to f32 on
@@ -313,7 +356,8 @@ def _cohort_rotation_coeffs(eeg, emg, starts, weights, tapers,
         # converts per window chunk after framing
         b, c = _rotation_coeffs_body(
             e, m, s, w, tapers,
-            window_samples, band_lo, band_hi, window_chunk)
+            window_samples, band_lo, band_hi, window_chunk,
+            use_pallas=use_pallas)
         return b, c.reshape(c.shape[0], nE * nM, c.shape[-1])
 
     base_j, coef_all = jax.lax.map(one, (eeg, emg, starts, weights))
@@ -602,7 +646,8 @@ def cohort_msc_fft_null(
 
 
 def _make_sharded_coeffs(mesh, J: int, window_samples: int, band_lo: int,
-                         band_hi: int, window_chunk: int):
+                         band_hi: int, window_chunk: int,
+                         use_pallas: bool = False):
     """Subject-sharded coefficient precompute under ``mesh``.
 
     Subjects are split over every device of the (flattened) mesh; each
@@ -631,7 +676,8 @@ def _make_sharded_coeffs(mesh, J: int, window_samples: int, band_lo: int,
             e, m, s, w = args
             b, c = _rotation_coeffs_body(
                 e, m, s, w,
-                tapers, window_samples, band_lo, band_hi, window_chunk)
+                tapers, window_samples, band_lo, band_hi, window_chunk,
+                use_pallas=use_pallas)
             return b, c.reshape(c.shape[0], -1, c.shape[-1])
         return jax.lax.map(one, (eeg, emg, starts, weights))
 
@@ -981,7 +1027,7 @@ def cohort_msc_rotation_null(
     starts_all = jnp.asarray(window_starts, jnp.int32)       # (J, W)
     weights_all = jnp.asarray(window_weights)                # (J, W)
 
-    def _precompute_fused(program=_cohort_rotation_coeffs):
+    def _precompute_fused(program=_cohort_rotation_coeffs, **pkw):
         """One upload per modality + one all-subject program.  The f32
         cast happens inside the program, per subject, so the f32 cohort
         never materialises in HBM at once."""
@@ -999,12 +1045,12 @@ def cohort_msc_rotation_null(
         t_co0 = _time.perf_counter()
         out = program(
             eeg_d, emg_d, starts_all, weights_all,
-            tapers_j, window_samples, lo, hi, wc)
+            tapers_j, window_samples, lo, hi, wc, **pkw)
         _hard_sync(out)
         t_stage["coeffs_sec"] = round(_time.perf_counter() - t_co0, 3)
         return out
 
-    def _precompute_pipelined():
+    def _precompute_pipelined(use_pallas=False):
         """Per-subject quantize → async device_put → async coefficient
         dispatch: the host quantizes subject j+1 while the link uploads
         subject j and the chip runs subject j-1's pass.  On
@@ -1024,7 +1070,7 @@ def cohort_msc_rotation_null(
             mj_d = jax.device_put(mj)
             b, c = _subject_rotation_coeffs(    # async dispatch
                 ej_d, mj_d, starts_all[j], weights_all[j], tapers_j,
-                window_samples, lo, hi, wc)
+                window_samples, lo, hi, wc, use_pallas=use_pallas)
             bases.append(b)
             coefs.append(c)
         out = _pipelined_epilogue(tuple(bases), tuple(coefs))
@@ -1036,7 +1082,7 @@ def cohort_msc_rotation_null(
             _time.perf_counter() - t_ov0 - t_q, 3)
         return out
 
-    def _precompute_sharded():
+    def _precompute_sharded(use_pallas=False):
         """Subject-sharded coefficient pass over the mesh (one sharded
         upload, no collectives; the pad subjects are sliced away in the
         epilogue).  The measured ``coeffs_sec`` here is the per-shard
@@ -1049,7 +1095,7 @@ def cohort_msc_rotation_null(
             emg = quantize(emg)
         t_stage["quantize_sec"] = round(_time.perf_counter() - tq0, 3)
         fn, j_pad, n_dev, flat = _make_sharded_coeffs(
-            mesh, J, window_samples, lo, hi, wc)
+            mesh, J, window_samples, lo, hi, wc, use_pallas=use_pallas)
 
         def pad_subjects(x):
             x = np.asarray(x) if not isinstance(x, jax.Array) else x
@@ -1078,14 +1124,32 @@ def cohort_msc_rotation_null(
         return out
 
     pipelined = bool(overlap_upload) and mesh is None and not per_window
-    if per_window:
-        base_cohort_d, coef_all, observed_flat = _precompute_fused(
-            _cohort_rotation_coeffs_pw)      # coef_all: (Wp, J, F, N, P)
-    elif mesh is not None:
-        base_cohort_d, coef_all, observed_flat = _precompute_sharded()
-    else:
-        base_cohort_d, coef_all, observed_flat = (
-            _precompute_pipelined() if pipelined else _precompute_fused())
+    # fused Pallas pair pass for the coefficient precompute (the
+    # profiled dominator at study scale); real-TPU backends only, with
+    # an XLA retry on any Pallas compile/execution fault
+    from mba_tpu.ops.coherence import _pallas_available
+    from mba_tpu.ops.pallas_coeffs import coeff_pallas_viable
+    up_coeffs = (_pallas_available() and not per_window
+                 and coeff_pallas_viable(wc, K, nE, nM))
+
+    def _dispatch_precompute(up):
+        if per_window:
+            return _precompute_fused(
+                _cohort_rotation_coeffs_pw)  # coef_all: (Wp, J, F, N, P)
+        if mesh is not None:
+            return _precompute_sharded(use_pallas=up)
+        if pipelined:
+            return _precompute_pipelined(use_pallas=up)
+        return _precompute_fused(use_pallas=up)
+
+    try:
+        base_cohort_d, coef_all, observed_flat = \
+            _dispatch_precompute(up_coeffs)
+    except Exception:                        # pragma: no cover - hw path
+        if not up_coeffs:
+            raise
+        up_coeffs = False
+        base_cohort_d, coef_all, observed_flat = _dispatch_precompute(False)
     base_flat = base_cohort_d.reshape(nF, nE * nM)
     P_feats = int(coef_all.shape[-1])
     observed = np.asarray(observed_flat).reshape(nF, nE, nM)
