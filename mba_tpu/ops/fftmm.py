@@ -1,11 +1,6 @@
 """MXU-decomposed real FFT: Cooley-Tukey as two matmul stages.
 
-XLA's TPU FFT lowering is a vector-unit codepath that reaches only a
-few percent of the chip's arithmetic roof, and every hot kernel in this
-framework (multitaper PSD, the CSD/coherence core, the rotation-null
-coefficient pass) spends most of its device time in batched rFFTs of a
-fixed power-of-2 window length.  The MXU-native alternative is the
-classic split-radix-by-matmul factorization: for ``n = n1 * n2``
+The classic TPU factorization: for ``n = n1 * n2``
 
     X[k1 + n1*k2] = sum_j2 [ F2[j2, k2] * W[k1, j2]
                      * sum_j1 F1[k1, j1] * x[n2*j1 + j2] ]
@@ -13,9 +8,18 @@ classic split-radix-by-matmul factorization: for ``n = n1 * n2``
 i.e. a length-``n1`` DFT as a matmul over the reshaped ``(n1, n2)``
 input, an elementwise twiddle, and a length-``n2`` DFT as a second
 matmul — O(n*(n1+n2)) flops instead of O(n log n), but on the 128x128
-systolic array instead of the VPU.  At window lengths 1k-8k the ~15x
-flop overhead buys a far larger throughput factor (the matmuls run at
-tens of TFLOP/s; measured A/B lives in ``BENCH_FFTMM.json``).
+systolic array.
+
+**Measured honestly** (``tools/bench_fftmm.py`` → ``BENCH_FFTMM.json``,
+device-resident, in-jit repeat loops past the tunnel readback floor):
+XLA's native TPU rfft is already strong at this framework's shapes —
+the matmul path wins **1.16-1.46×** (best on big flat batches of
+n=4096, least inside the coefficient-pass layout).  That is real but
+small next to where the actual wall time goes (HBM traffic, host
+links), so the production kernels keep ``jnp.fft.rfft``; this op is
+exported for workloads where a 1.3× FFT matters and as the measured
+record that the obvious "FFT is slow on TPU" hypothesis was tested
+and mostly rejected on this chip.
 
 Only the onesided (rfft) spectrum is materialized: stage 2 evaluates
 ``k2 in [0, n2/2]`` so ~half the second matmul is skipped.  All
@@ -119,12 +123,9 @@ def rfft_mxu(x, axis: int = -1):
 
 
 def use_mxu_fft() -> bool:
-    """Default policy: MXU decomposition on real TPU backends only.
-
-    On CPU (tests, virtual meshes) XLA's pocketfft-backed rfft is
-    faster than 15x-flops matmuls; on TPU the matmul path wins by an
-    order of magnitude (BENCH_FFTMM.json).
-    """
+    """Policy helper: True only on real TPU backends (where the matmul
+    path measured 1.16-1.46× vs the native FFT — BENCH_FFTMM.json); on
+    CPU XLA's pocketfft beats 15×-flops matmuls outright."""
     try:
         return jax.devices()[0].platform == "tpu"
     except Exception:
