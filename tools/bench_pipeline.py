@@ -261,8 +261,22 @@ def main():
         # TPU fit actually needed
         epoch_full = epoch_slice * (n // block) / max(
             len(x_white) // block, 1)
-        denominators["s2_ica_cpu_sec_extrapolated"] = round(
+        denominators["s2_ica_cpu_sec_extrapolated_live"] = round(
             epoch_full * max(ica.n_iter_, 1), 1)
+        # prefer the PINNED epoch rate (BENCH_CPU_PINNED.json, median of
+        # 5): the live 1-core timing swings ~2x with host load, which
+        # made ica_speedup_vs_cpu uninterpretable across rounds
+        pinned_rate = {}
+        ppin = REPO / "BENCH_CPU_PINNED.json"
+        if ppin.exists():
+            pinned_rate = json.loads(ppin.read_text())
+        per_ms = pinned_rate.get("ica_cpu_sec_per_epoch_per_msample")
+        if per_ms is not None:
+            denominators["s2_ica_cpu_sec_extrapolated"] = round(
+                per_ms * (n / 1e6) * max(ica.n_iter_, 1), 1)
+        else:
+            denominators["s2_ica_cpu_sec_extrapolated"] = \
+                denominators["s2_ica_cpu_sec_extrapolated_live"]
         log(f"[s2] CPU denominators: filters "
             f"{denominators['s2_filter_cpu_sec_extrapolated']}s, ICA "
             f"{denominators['s2_ica_cpu_sec_extrapolated']}s")
