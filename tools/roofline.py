@@ -162,13 +162,26 @@ def kernel_rotation_null():
     obs = jax.device_put((base + 1.0))
     key = jax.random.PRNGKey(0)
     from mba_tpu.ops.cohort_null import _null_chunk_core
-    fn = _scalarize(functools.partial(_null_chunk_core, n_chunk=S, K=K,
-                                      compute_dtype=jnp.bfloat16))
+    core = functools.partial(_null_chunk_core, n_chunk=S, K=K,
+                             compute_dtype=jnp.bfloat16)
+    R = 8   # in-program repeat: one chunk is ~20 ms, same order as the
+            # tunnel's readback floor — amortize so the subtraction is
+            # a small correction, not the measurement
+
+    def repeated(key, coef, base, obs, cnt):
+        def body(i, acc):
+            out = core(jax.random.fold_in(key, i), coef, base, obs, cnt)
+            total = jnp.float32(0.0)
+            for leaf in jax.tree_util.tree_leaves(out):
+                total += jnp.real(leaf).astype(jnp.float32).sum()
+            return acc + total
+        return jax.lax.fori_loop(0, R, body, jnp.float32(0.0))
+    fn = jax.jit(repeated)
 
     def run():
         float(fn(key, coef, base, obs, jnp.zeros((nF, N), jnp.int32)))
 
-    sec = _time_reps(run)
+    sec = _time_reps(run) / R
     # dominant matmul: (S, J*P) x (J*P, N) per frequency row -> 2*S*J*P*N*nF
     fl = 2.0 * S * J * P * N * nF
     # minimum bytes: coef tensor read once (bf16 = 2B after cast), G
@@ -189,20 +202,117 @@ def kernel_rotation_null_pallas():
     coef, base, obs, J, nF, N, K, P, S = _null_problem()
     coefT = prepare_null_coeffs(coef, jnp.bfloat16)
     float(jnp.asarray(coefT).astype(jnp.float32).sum())
-    fn = _scalarize(functools.partial(null_chunk_pallas_body, n_chunk=S,
-                                      K=K, J=J, P=P,
-                                      compute_dtype=jnp.bfloat16))
+    core = functools.partial(null_chunk_pallas_body, n_chunk=S,
+                             K=K, J=J, P=P, compute_dtype=jnp.bfloat16)
+    R = 16  # one fused chunk is ~3-5 ms — far below the ~22 ms tunnel
+            # readback floor; amortize in-program (fresh key per rep)
+
+    def repeated(key, coefT, base, obs):
+        def body(i, acc):
+            out = core(jax.random.fold_in(key, i), coefT, base, obs)
+            total = jnp.float32(0.0)
+            for leaf in jax.tree_util.tree_leaves(out):
+                total += jnp.real(leaf).astype(jnp.float32).sum()
+            return acc + total
+        return jax.lax.fori_loop(0, R, body, jnp.float32(0.0))
+    fn = jax.jit(repeated)
 
     def run():
         float(fn(jax.random.PRNGKey(0), coefT, base, obs))
 
-    sec = _time_reps(run)
+    sec = _time_reps(run) / R
     fl = 2.0 * S * J * P * N * nF
     JP_pad = coefT.shape[1]
     by = (2.0 * nF * JP_pad * N          # coefT streamed once
           + 2.0 * 2.0 * S * J * P * nF    # G features: write + read
           + 4.0 * (S + nF * N))           # outputs
     return sec, fl, by, f"rotation-null PALLAS fused ({S} surrogates)"
+
+
+def _coeff_problem():
+    """Shared problem for the rotation-null coefficient pair pass A/B:
+    the flagship north-star shape per chunk (64 EEG × 64 EMG, K=5,
+    wc=32, 2-s windows @ 2048 Hz, 13-100 Hz band) over 256 windows."""
+    from mba_tpu.ops.dpss import dpss_windows
+
+    Ec, Mc, K, wc, W = 64, 64, 5, 32, 256
+    ws = int(WINDOW_SEC * FS)                        # 4096
+    hop = ws // 2
+    band_lo, band_hi = 26, 201                       # 13-100 Hz @ 0.5 Hz
+    n = (W - 1) * hop + ws
+    rng = np.random.default_rng(7)
+    eeg = jax.device_put(rng.standard_normal((n, Ec)).astype(np.float32))
+    emg = jax.device_put(rng.standard_normal((n, Mc)).astype(np.float32))
+    starts = jnp.asarray(np.arange(W) * hop, jnp.int32)
+    weights = jnp.ones((W,), jnp.float32)
+    tapers = jnp.asarray(dpss_windows(ws, NW, K), jnp.float32)
+    return eeg, emg, starts, weights, tapers, ws, band_lo, band_hi, \
+        wc, W, Ec, Mc, K
+
+
+def _coeff_flops_bytes(W, Ec, Mc, K, ws, nF):
+    """FLOPs shared by both lowerings + the minimum bytes of each."""
+    N = Ec * Mc
+    P2 = K * (K - 1) // 2
+    batch = W * K * (Ec + Mc)
+    fl = (fft_flops(ws, batch)                   # taper FFTs
+          + 1.0 * W * K * ws * (Ec + Mc)         # taper multiply
+          + W * nF * N * (16.0 * K + 8.0 * P2))  # y/diag/pair products
+    Fp = 256                                     # 128-lane padded band
+    spectra = 2.0 * 4.0 * batch * Fp             # re+im f32
+    base_by = (4.0 * (W * ws // 2) * (Ec + Mc)   # framed signal read
+               + 2.0 * spectra                   # spectra write + read
+               + 4.0 * (2 * P2 + 1) * N * Fp)    # accumulator outputs
+    # the XLA lowering additionally materializes yr/yi (wc,K,F,N) in HBM
+    # and re-reads two taper slices per pair product + once for diag
+    yr_yi = 2.0 * 4.0 * W * K * nF * N
+    xla_by = base_by + yr_yi + 4.0 * W * nF * N * (2 * P2 + K)
+    return fl, base_by, xla_by
+
+
+def kernel_coeff_pass():
+    """Rotation-null coefficient pair pass — XLA lowering."""
+    import functools
+    from mba_tpu.ops.cohort_null import _subject_rotation_coeffs
+
+    (eeg, emg, starts, weights, tapers, ws, blo, bhi,
+     wc, W, Ec, Mc, K) = _coeff_problem()
+    fn = _scalarize(functools.partial(
+        _subject_rotation_coeffs.__wrapped__, window_samples=ws,
+        band_lo=blo, band_hi=bhi, window_chunk=wc, use_pallas=False))
+
+    def run():
+        float(fn(eeg, emg, starts, weights, tapers))
+
+    sec = _time_reps(run)
+    fl, _, by = _coeff_flops_bytes(W, Ec, Mc, K, ws, bhi - blo)
+    return sec, fl, by, f"rotation-null coeff pass XLA ({W} windows)"
+
+
+def kernel_coeff_pass_pallas():
+    """Fused Pallas pair pass (ops/pallas_coeffs.py): the normalized
+    taper products stay in VMEM — minimum traffic is the taper spectra
+    once + the accumulator outputs."""
+    import functools
+    from mba_tpu.ops.cohort_null import _subject_rotation_coeffs
+    from mba_tpu.ops.pallas_coeffs import coeff_pallas_viable
+
+    (eeg, emg, starts, weights, tapers, ws, blo, bhi,
+     wc, W, Ec, Mc, K) = _coeff_problem()
+    if not coeff_pallas_viable(wc, K, Ec, Mc):
+        raise RuntimeError("pallas coeff kernel not viable at this shape")
+    # the spectra are re-streamed once per EEG block in the 3-D grid;
+    # keep base_by (spectra once) as the MINIMUM-traffic convention
+    fn = _scalarize(functools.partial(
+        _subject_rotation_coeffs.__wrapped__, window_samples=ws,
+        band_lo=blo, band_hi=bhi, window_chunk=wc, use_pallas=True))
+
+    def run():
+        float(fn(eeg, emg, starts, weights, tapers))
+
+    sec = _time_reps(run)
+    fl, by, _ = _coeff_flops_bytes(W, Ec, Mc, K, ws, bhi - blo)
+    return sec, fl, by, f"rotation-null coeff pass PALLAS ({W} windows)"
 
 
 def kernel_permutation_tmaps():
@@ -274,7 +384,8 @@ def main():
     # that never exists in production).  That path is covered by the
     # end-to-end permutations/s figure in bench.py instead.
     for k in (kernel_cmc_fullgrid, kernel_rotation_null,
-              kernel_rotation_null_pallas, kernel_batched_reml):
+              kernel_rotation_null_pallas, kernel_coeff_pass,
+              kernel_coeff_pass_pallas, kernel_batched_reml):
         try:
             sec, fl, by, label = k()
         except Exception as e:      # pragma: no cover - env-dependent
