@@ -93,6 +93,13 @@ class TestViabilityGuard:
     def test_study_scale_is_viable(self):
         assert coeff_pallas_viable(8, 5, 11, 64)
 
+    def test_flagship_shapes_are_viable(self):
+        # regression: the first kernel shape rejected the 64x64-pair
+        # north-star config (and compile-failed at 11x64/wc=32), so the
+        # production bench silently rode the XLA fallback
+        assert coeff_pallas_viable(32, 5, 64, 64)
+        assert coeff_pallas_viable(32, 5, 11, 64)
+
     def test_absurd_scale_is_not(self):
         # the window-in-grid design only runs out of VMEM when the EMG
         # axis itself (untileable: every EEG block needs all of M) is
