@@ -242,9 +242,10 @@ def _rotation_coeffs_body(eeg, emg, starts, weights, tapers,
 
     if use_pallas:
         # fused Pallas pair pass (ops/pallas_coeffs.py): the normalized
-        # taper products never hit HBM — profiled 1.21 s → ~0.15 s per
-        # study-scale subject for the pair stage.  Frequency rides the
-        # lane axis inside the kernel; transpose back once at the end.
+        # taper products never hit HBM — measured 1.51 → 0.80 s per
+        # study-scale subject for the whole body (FFT + pairs; the
+        # pair stage alone is ~2.6×).  Frequency rides the lane axis
+        # inside the kernel; transpose back once at the end.
         from mba_tpu.ops.pallas_coeffs import (F_TILE, _round_up,
                                                coeff_chunk_pallas)
         Fp = _round_up(nF, F_TILE)
