@@ -398,8 +398,12 @@ def multitaper_msc(
                 # per-(freq, eeg[, emg]) scale sidecars (2·4 bytes/lane)
                 # stay under 10 % of the integer payload — tighter
                 # per-lane spans at study scale, plain per-channel lanes
-                # for tiny window counts
-                fine = 8.0 <= 0.1 * td.itemsize * val.shape[0]
+                # for tiny window counts.  Judged on n_active, not the
+                # chunk-padded val.shape[0]: near the threshold the
+                # granularity must not flip on padding (padded rows are
+                # window-0 copies, so their min/max effect is benign,
+                # but the lane choice should track real data volume).
+                fine = 8.0 <= 0.1 * td.itemsize * n_active
                 host, n_bytes, _ = download_quantized(
                     val, td, lane_ndim=val.ndim - 1 if fine else 1)
                 compact[key] = host[:n_active]

@@ -84,6 +84,7 @@ per-cell uncorrected empirical p-values accumulated on-line.
 from __future__ import annotations
 
 import functools
+import sys as _sys
 
 import numpy as np
 import jax
@@ -1146,9 +1147,14 @@ def cohort_msc_rotation_null(
     try:
         base_cohort_d, coef_all, observed_flat = \
             _dispatch_precompute(up_coeffs)
-    except Exception:                        # pragma: no cover - hw path
+    except Exception as exc:                 # pragma: no cover - hw path
         if not up_coeffs:
             raise
+        # loud fallback: a silent retry doubles runtime and hides Pallas
+        # regressions on real hardware (mirrors coherence.py's message)
+        print(f"[cohort_msc_rotation_null] pallas coeff pass failed "
+              f"({type(exc).__name__}: {exc}); retrying via XLA",
+              file=_sys.stderr, flush=True)
         up_coeffs = False
         base_cohort_d, coef_all, observed_flat = _dispatch_precompute(False)
     base_flat = base_cohort_d.reshape(nF, nE * nM)

@@ -180,10 +180,16 @@ def upload_counts(counts: np.ndarray, scale) -> tuple[jax.Array, int]:
 
     counts : integer array, channels on the trailing axis (any leading
         shape; a C-contiguous ``(n_samples, n_channels)`` view of the
-        tar member bytes uploads with zero host copies).
+        tar member bytes uploads with zero host copies).  NOTE:
+        ``read_otb4(raw_counts=True)`` returns channel-major
+        ``(n_channels, n_samples)`` — pass ``counts.T`` here, e.g.
+        ``upload_counts(counts.T, mv_per_count)``.
     scale : scalar or broadcastable array (e.g. the per-channel
         ``mv_per_count`` factors from ``read_otb4(raw_counts=True)``,
-        times 1e-3 for volts).
+        times 1e-3 for volts).  A 1-D per-channel ``scale`` must match
+        ``counts.shape[-1]`` — enforced, because a transposed ``counts``
+        would otherwise broadcast silently over the wrong (sample) axis
+        whenever the sample count happens to match.
 
     Returns ``(x_dev_f32, n_bytes_uploaded)``.
     """
@@ -191,5 +197,11 @@ def upload_counts(counts: np.ndarray, scale) -> tuple[jax.Array, int]:
     if not np.issubdtype(counts.dtype, np.integer):
         raise TypeError(f"counts must be integer, got {counts.dtype}")
     scale = np.asarray(scale, np.float32)
+    if scale.ndim == 1 and scale.shape[0] != 1 \
+            and scale.shape[0] != counts.shape[-1]:
+        raise ValueError(
+            f"per-channel scale has {scale.shape[0]} entries but the "
+            f"trailing (channel) axis of counts is {counts.shape[-1]}; "
+            f"read_otb4 output is channel-major — pass counts.T")
     x_dev = _dequant_on_device(jnp.asarray(counts), jnp.asarray(scale))
     return x_dev, counts.nbytes + scale.nbytes
