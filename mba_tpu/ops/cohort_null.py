@@ -126,7 +126,9 @@ def _rotation_coeffs_body(eeg, emg, starts, weights, tapers,
                           window_samples: int, band_lo: int, band_hi: int,
                           window_chunk: int, per_window: bool = False,
                           use_pallas: bool = False,
-                          pallas_interpret: bool = False):
+                          pallas_interpret: bool = False,
+                          use_gram: bool = False,
+                          gram_spectra: str = "dft"):
     """Per-subject rotation-null coefficients (traceable body).
 
     Returns (base, coef):
@@ -142,6 +144,15 @@ def _rotation_coeffs_body(eeg, emg, starts, weights, tapers,
     the 1/W-shrinkage, higher-power variant for small window counts.
     ``base`` is unchanged (it is rotation-invariant either way).
     """
+    if use_gram and not per_window:
+        # MXU gram engine (ops/gram_coeffs.py): pair products as
+        # window-contraction matmuls, band spectra as one taper-folded
+        # DFT matmul — the production default (the Pallas/XLA paths
+        # below are kept as parity baselines and fallbacks)
+        from mba_tpu.ops.gram_coeffs import gram_coeffs_subject
+        return gram_coeffs_subject(
+            eeg, emg, starts, weights, tapers, window_samples,
+            band_lo, band_hi, spectra=gram_spectra)
     K = tapers.shape[0]
     ks, ls = _pair_indices(K)
     # reduced transfer dtypes (int8/int16) are converted to f32 per
@@ -296,7 +307,8 @@ def _rotation_coeffs_body(eeg, emg, starts, weights, tapers,
 _subject_rotation_coeffs = functools.partial(
     jax.jit, static_argnames=("window_samples", "band_lo", "band_hi",
                               "window_chunk", "per_window", "use_pallas",
-                              "pallas_interpret"))(_rotation_coeffs_body)
+                              "pallas_interpret", "use_gram",
+                              "gram_spectra"))(_rotation_coeffs_body)
 
 
 @functools.partial(jax.jit, static_argnames=("J",))
@@ -333,11 +345,13 @@ def _pipelined_epilogue(bases, coefs):
 
 @functools.partial(jax.jit,
                    static_argnames=("window_samples", "band_lo", "band_hi",
-                                    "window_chunk", "use_pallas"))
+                                    "window_chunk", "use_pallas",
+                                    "use_gram"))
 def _cohort_rotation_coeffs(eeg, emg, starts, weights, tapers,
                             window_samples: int, band_lo: int,
                             band_hi: int, window_chunk: int,
-                            use_pallas: bool = False):
+                            use_pallas: bool = False,
+                            use_gram: bool = False):
     """All-subject rotation coefficients in ONE program.
 
     eeg: (J, n, E), emg: (J, n, M) — any real dtype (cast to f32 on
@@ -359,7 +373,7 @@ def _cohort_rotation_coeffs(eeg, emg, starts, weights, tapers,
         b, c = _rotation_coeffs_body(
             e, m, s, w, tapers,
             window_samples, band_lo, band_hi, window_chunk,
-            use_pallas=use_pallas)
+            use_pallas=use_pallas, use_gram=use_gram)
         return b, c.reshape(c.shape[0], nE * nM, c.shape[-1])
 
     base_j, coef_all = jax.lax.map(one, (eeg, emg, starts, weights))
@@ -649,7 +663,8 @@ def cohort_msc_fft_null(
 
 def _make_sharded_coeffs(mesh, J: int, window_samples: int, band_lo: int,
                          band_hi: int, window_chunk: int,
-                         use_pallas: bool = False):
+                         use_pallas: bool = False,
+                         use_gram: bool = False):
     """Subject-sharded coefficient precompute under ``mesh``.
 
     Subjects are split over every device of the (flattened) mesh; each
@@ -679,7 +694,7 @@ def _make_sharded_coeffs(mesh, J: int, window_samples: int, band_lo: int,
             b, c = _rotation_coeffs_body(
                 e, m, s, w,
                 tapers, window_samples, band_lo, band_hi, window_chunk,
-                use_pallas=use_pallas)
+                use_pallas=use_pallas, use_gram=use_gram)
             return b, c.reshape(c.shape[0], -1, c.shape[-1])
         return jax.lax.map(one, (eeg, emg, starts, weights))
 
@@ -804,6 +819,7 @@ def cohort_msc_rotation_null(
         per_window_max_coef_bytes: int = 2 * 1024 ** 3,
         overlap_upload: bool = True,
         precompute_only: bool = False,
+        coeff_engine: str = "auto",
         verbose: bool = False,
 ) -> dict:
     """Cohort-level FWE-corrected MSC surrogate null (see module docstring).
@@ -876,6 +892,14 @@ def cohort_msc_rotation_null(
     precompute_only : return after the coefficient pass (observed map +
         timings, no surrogates) — used to warm the per-subject program
         at full shape and to time precompute in isolation.
+    coeff_engine : ``'auto'`` | ``'gram'`` | ``'pallas'`` | ``'xla'`` —
+        which coefficient-pass lowering to run.  ``'auto'`` picks the
+        MXU gram engine (ops/gram_coeffs.py: pair products as
+        window-contraction matmuls + taper-folded band DFT matmul) on
+        every platform; ``'pallas'`` is the round-3 fused VPU kernel
+        (real TPU only), ``'xla'`` the chunked-scan baseline.  All
+        three produce the same coefficients to f32 tolerance (tested);
+        any engine fault falls back loudly to ``'xla'``.
 
     Integer ADC passthrough: if the cohorts are already int16/int8 ADC
     counts (the OTB4 on-disk format, io/otb4.py) *and* ``transfer_dtype``
@@ -1052,7 +1076,7 @@ def cohort_msc_rotation_null(
         t_stage["coeffs_sec"] = round(_time.perf_counter() - t_co0, 3)
         return out
 
-    def _precompute_pipelined(use_pallas=False):
+    def _precompute_pipelined(use_pallas=False, use_gram=False):
         """Per-subject quantize → async device_put → async coefficient
         dispatch: the host quantizes subject j+1 while the link uploads
         subject j and the chip runs subject j-1's pass.  On
@@ -1072,7 +1096,8 @@ def cohort_msc_rotation_null(
             mj_d = jax.device_put(mj)
             b, c = _subject_rotation_coeffs(    # async dispatch
                 ej_d, mj_d, starts_all[j], weights_all[j], tapers_j,
-                window_samples, lo, hi, wc, use_pallas=use_pallas)
+                window_samples, lo, hi, wc, use_pallas=use_pallas,
+                use_gram=use_gram)
             bases.append(b)
             coefs.append(c)
         out = _pipelined_epilogue(tuple(bases), tuple(coefs))
@@ -1084,7 +1109,7 @@ def cohort_msc_rotation_null(
             _time.perf_counter() - t_ov0 - t_q, 3)
         return out
 
-    def _precompute_sharded(use_pallas=False):
+    def _precompute_sharded(use_pallas=False, use_gram=False):
         """Subject-sharded coefficient pass over the mesh (one sharded
         upload, no collectives; the pad subjects are sliced away in the
         epilogue).  The measured ``coeffs_sec`` here is the per-shard
@@ -1097,7 +1122,8 @@ def cohort_msc_rotation_null(
             emg = quantize(emg)
         t_stage["quantize_sec"] = round(_time.perf_counter() - tq0, 3)
         fn, j_pad, n_dev, flat = _make_sharded_coeffs(
-            mesh, J, window_samples, lo, hi, wc, use_pallas=use_pallas)
+            mesh, J, window_samples, lo, hi, wc, use_pallas=use_pallas,
+            use_gram=use_gram)
 
         def pad_subjects(x):
             x = np.asarray(x) if not isinstance(x, jax.Array) else x
@@ -1126,37 +1152,47 @@ def cohort_msc_rotation_null(
         return out
 
     pipelined = bool(overlap_upload) and mesh is None and not per_window
-    # fused Pallas pair pass for the coefficient precompute (the
-    # profiled dominator at study scale); real-TPU backends only, with
-    # an XLA retry on any Pallas compile/execution fault
-    from mba_tpu.ops.coherence import _pallas_available
-    from mba_tpu.ops.pallas_coeffs import coeff_pallas_viable
-    up_coeffs = (_pallas_available() and not per_window
-                 and coeff_pallas_viable(wc, K, nE, nM))
+    if coeff_engine not in ("auto", "gram", "pallas", "xla"):
+        raise ValueError("coeff_engine must be 'auto', 'gram', 'pallas' "
+                         f"or 'xla', got {coeff_engine!r}")
+    engine = coeff_engine
+    if engine == "auto":
+        # the MXU gram lowering is pure XLA — valid on every platform
+        # and every shape (no VMEM viability guard needed)
+        engine = "gram"
+    if per_window:
+        engine = "xla"                # per-window keeps the scan engine
+    if engine == "pallas":
+        # real-TPU backends only, and only where a VMEM block fits
+        from mba_tpu.ops.coherence import _pallas_available
+        from mba_tpu.ops.pallas_coeffs import coeff_pallas_viable
+        if not (_pallas_available() and coeff_pallas_viable(wc, K, nE, nM)):
+            engine = "xla"
 
-    def _dispatch_precompute(up):
+    def _dispatch_precompute(eng):
+        kw = {"use_pallas": eng == "pallas", "use_gram": eng == "gram"}
         if per_window:
             return _precompute_fused(
                 _cohort_rotation_coeffs_pw)  # coef_all: (Wp, J, F, N, P)
         if mesh is not None:
-            return _precompute_sharded(use_pallas=up)
+            return _precompute_sharded(**kw)
         if pipelined:
-            return _precompute_pipelined(use_pallas=up)
-        return _precompute_fused(use_pallas=up)
+            return _precompute_pipelined(**kw)
+        return _precompute_fused(**kw)
 
     try:
         base_cohort_d, coef_all, observed_flat = \
-            _dispatch_precompute(up_coeffs)
+            _dispatch_precompute(engine)
     except Exception as exc:                 # pragma: no cover - hw path
-        if not up_coeffs:
+        if engine == "xla":
             raise
-        # loud fallback: a silent retry doubles runtime and hides Pallas
-        # regressions on real hardware (mirrors coherence.py's message)
-        print(f"[cohort_msc_rotation_null] pallas coeff pass failed "
+        # loud fallback: a silent retry doubles runtime and hides
+        # gram/Pallas regressions on real hardware
+        print(f"[cohort_msc_rotation_null] {engine} coeff pass failed "
               f"({type(exc).__name__}: {exc}); retrying via XLA",
               file=_sys.stderr, flush=True)
-        up_coeffs = False
-        base_cohort_d, coef_all, observed_flat = _dispatch_precompute(False)
+        engine = "xla"
+        base_cohort_d, coef_all, observed_flat = _dispatch_precompute("xla")
     base_flat = base_cohort_d.reshape(nF, nE * nM)
     P_feats = int(coef_all.shape[-1])
     observed = np.asarray(observed_flat).reshape(nF, nE, nM)
@@ -1164,6 +1200,7 @@ def cohort_msc_rotation_null(
     upload_bytes = (eeg.nbytes + emg.nbytes if quantize is None
                     else eeg.size * td.itemsize + emg.size * td.itemsize)
     t_stage["upload_bytes"] = int(upload_bytes)
+    t_stage["coeff_engine"] = engine
 
     def _recompute_coef_all():
         """Rare path: re-derive the f32 coefficient tensor after it was

@@ -315,6 +315,45 @@ def kernel_coeff_pass_pallas():
     return sec, fl, by, f"rotation-null coeff pass PALLAS ({W} windows)"
 
 
+def kernel_coeff_pass_gram():
+    """MXU gram lowering (ops/gram_coeffs.py): pair products as
+    window-contraction matmuls + taper-folded band DFT matmul.
+
+    FLOPs counted are the ALGORITHMIC matmul flops of this lowering
+    (they differ from the FFT engines': the direct band DFT trades
+    O(n log n) for MXU-shaped O(n·K·F) work), so the roof %% is the
+    honest utilization of the arithmetic actually issued (per-pass
+    hardware cost at Precision.HIGH is 3× bf16, i.e. the bf16-roof %%
+    understates MXU occupancy ~3×).
+    """
+    import functools
+    from mba_tpu.ops.cohort_null import _subject_rotation_coeffs
+
+    (eeg, emg, starts, weights, tapers, ws, blo, bhi,
+     wc, W, Ec, Mc, K) = _coeff_problem()
+    fn = _scalarize(functools.partial(
+        _subject_rotation_coeffs.__wrapped__, window_samples=ws,
+        band_lo=blo, band_hi=bhi, window_chunk=wc, use_gram=True))
+
+    def run():
+        float(fn(eeg, emg, starts, weights, tapers))
+
+    sec = _time_reps(run)
+    nF = bhi - blo
+    P2 = K * (K - 1) // 2
+    # DFT matmuls: (W, ws, C) × (ws, 2·K·nF) per modality
+    fl = 2.0 * W * ws * (2 * K * nF) * (Ec + Mc)
+    # gram matmuls: diag contracts (K, W); 4 pair einsums contract W
+    fl += 2.0 * nF * Ec * Mc * (K * W + 4 * P2 * W)
+    # operand construction (elementwise): ~10 flops per operand element
+    fl += 10.0 * W * nF * (K + 2 * P2) * (Ec + Mc)
+    by = (4.0 * W * ws * (Ec + Mc)                   # frames read
+          + 2.0 * 4.0 * W * K * nF * (Ec + Mc)       # spectra w+r
+          + 2.0 * 2.0 * 4.0 * W * (K + 2 * P2) * nF * (Ec + Mc)  # operands
+          + 4.0 * (2 * P2 + 1) * nF * Ec * Mc)       # outputs
+    return sec, fl, by, f"rotation-null coeff pass GRAM ({W} windows)"
+
+
 def kernel_permutation_tmaps():
     """Sign-flip permutation t-maps as one matmul."""
     from mba_tpu.ops.permutation import _t_maps
@@ -385,7 +424,8 @@ def main():
     # end-to-end permutations/s figure in bench.py instead.
     for k in (kernel_cmc_fullgrid, kernel_rotation_null,
               kernel_rotation_null_pallas, kernel_coeff_pass,
-              kernel_coeff_pass_pallas, kernel_batched_reml):
+              kernel_coeff_pass_pallas, kernel_coeff_pass_gram,
+              kernel_batched_reml):
         try:
             sec, fl, by, label = k()
         except Exception as e:      # pragma: no cover - env-dependent
