@@ -1392,3 +1392,119 @@ def cohort_msc_rotation_null(
                         "null_sec": round(t_null, 3), **t_stage},
         },
     }
+
+
+def _fft_null_flops(J: int, n_samples: int, nE: int, nM: int, W: int,
+                    K: int, window_samples: int, nF: int,
+                    n_surrogates: int) -> float:
+    """Device-flop estimate of one full-FFT cohort null (dispatch model).
+
+    Per surrogate: EMG signal resynthesis (irfft per subject×channel),
+    EMG window taper FFTs, and the cohort MSC map re-evaluation (the
+    EEG window spectra are surrogate-invariant and amortize to zero).
+    """
+    lg = float(np.log2(max(n_samples, 2)))
+    lw = float(np.log2(max(window_samples, 2)))
+    per_surr = J * (5.0 * n_samples * lg * nM                # resynthesis
+                    + 5.0 * window_samples * lw * W * K * nM  # window FFTs
+                    + 8.0 * K * W * nF * nE * nM)             # MSC map
+    return per_surr * n_surrogates
+
+
+def cohort_msc_null(eeg_cohort, emg_cohort, sampling_freq: float,
+                    n_surrogates: int = 10_000, method: str = "auto",
+                    fft_flop_budget: float | None = None, **kw) -> dict:
+    """Cohort FWE null with automatic engine selection.
+
+    The two engines trade POWER for SCALE on overlapping window grids:
+
+    - ``'fft'`` (:func:`cohort_msc_fft_null`) resynthesizes the EMG
+      signals per surrogate, so every window — including 50 %-overlap
+      ones — enters the inference exactly.  Cost: O(n_surrogates) full
+      cohort passes.
+    - ``'rotation'`` (:func:`cohort_msc_rotation_null`) precomputes
+      rotation coefficients once and draws surrogates as matmuls, but
+      calibrated inference restricts to a disjoint window subset
+      (p_value_windows='disjoint'), which halves the effective window
+      count of a 50 %-overlap grid — the measured near-threshold power
+      gap vs the fft engine (BENCH_NULL_POWER.json: up to 0.45 at
+      W=32) is dominated by exactly that subsetting.
+
+    ``method='auto'`` therefore runs the exact fft engine whenever its
+    estimated device cost fits ``fft_flop_budget`` and falls back to
+    the rotation engine at scales where O(n_surrogates) cohort passes
+    are unaffordable (where its disjoint subset is large and the power
+    gap vanishes).  The default budget is ~2e13 flops on TPU (a few
+    seconds of chip time) and ~2e11 on CPU hosts.
+
+    Considered and rejected for closing the gap inside the rotation
+    engine: two-offset disjoint inference (Bonferroni over the even-
+    and odd-parity disjoint subsets, each marginally calibrated).  The
+    parities overlap 50 % sample-wise, so their statistics are strongly
+    correlated and ``2·min(p_even, p_odd)`` pays the factor 2 without
+    the independence that would earn it back — measured in
+    tools/bench_null_power.py (``power_rotation_2off``): it never beats
+    the single-parity engine by more than replicate noise, while the
+    fft engine recovers the full gap.
+
+    All ``**kw`` are forwarded to the chosen engine (rotation-only
+    options are dropped with a note when the fft engine is picked).
+    Returns the engine's result dict; ``metadata['method']`` records
+    which engine ran, ``metadata['engine_choice']`` why.
+    """
+    if method not in ("auto", "fft", "rotation"):
+        raise ValueError("method must be 'auto', 'fft' or 'rotation', "
+                         f"got {method!r}")
+    eeg = np.asarray(eeg_cohort) if not isinstance(eeg_cohort, jax.Array) \
+        else eeg_cohort
+    emg = np.asarray(emg_cohort) if not isinstance(emg_cohort, jax.Array) \
+        else emg_cohort
+    if eeg.ndim != 3 or emg.ndim != 3:
+        raise ValueError("cohort arrays must be (J, n_samples, n_channels)")
+    J, n_samples, nE = eeg.shape
+    nM = emg.shape[2]
+
+    window_length_sec = kw.get("window_length_sec", 2.0)
+    overlap_frac = kw.get("overlap_frac", 0.5)
+    nw = kw.get("nw", 3)
+    band = kw.get("band", (13.0, 100.0))
+    window_samples = int(window_length_sec * sampling_freq)
+    hop = max(int(window_samples * (1 - overlap_frac)), 1)
+    if kw.get("window_starts") is not None:
+        W = int(np.asarray(kw["window_starts"]).shape[-1])
+    else:
+        W = max((n_samples - window_samples) // hop + 1, 1)
+    nF = max(int((band[1] - band[0]) * window_length_sec), 1)
+    K = max(int(2 * nw - 1), 2)
+
+    choice = method
+    est = _fft_null_flops(J, n_samples, nE, nM, W, K, window_samples,
+                          nF, n_surrogates)
+    if method == "auto":
+        if fft_flop_budget is None:
+            plat = jax.devices()[0].platform
+            fft_flop_budget = 2e13 if plat in ("tpu", "axon") else 2e11
+        choice = "fft" if est <= fft_flop_budget else "rotation"
+
+    if choice == "fft":
+        fft_kw = dict(kw)
+        dropped = [k for k in ("rotation_mode", "p_value_windows",
+                               "compute_dtype", "transfer_dtype",
+                               "overlap_upload", "precompute_only",
+                               "coeff_engine", "per_window_max_coef_bytes")
+                   if fft_kw.pop(k, None) is not None]
+        # fft engine uses a smaller default surrogate chunk
+        fft_kw.setdefault("surrogate_chunk", 8)
+        res = cohort_msc_fft_null(eeg, emg, sampling_freq,
+                                  n_surrogates=n_surrogates, **fft_kw)
+        if dropped:
+            res["metadata"]["dropped_rotation_kwargs"] = dropped
+    else:
+        res = cohort_msc_rotation_null(eeg, emg, sampling_freq,
+                                       n_surrogates=n_surrogates, **kw)
+    res["metadata"]["engine_choice"] = {
+        "method_requested": method, "method_run": choice,
+        "estimated_fft_flops": est,
+        "fft_flop_budget": fft_flop_budget,
+    }
+    return res

@@ -161,3 +161,33 @@ def test_auto_engine_is_gram():
         eeg, emg, sampling_freq=FS, window_length_sec=1.0,
         band=(8.0, 30.0), precompute_only=True)
     assert res["metadata"]["timings"]["coeff_engine"] == "gram"
+
+
+def test_cohort_msc_null_auto_dispatch():
+    """cohort_msc_null: method='auto' picks the exact fft engine at
+    small scale and the rotation engine when the fft cost model blows
+    the budget; both results carry the choice in metadata."""
+    from mba_tpu.ops.cohort_null import cohort_msc_null
+
+    rng = np.random.default_rng(6)
+    J, n = 2, int(FS * 6)
+    eeg = rng.standard_normal((J, n, 1)).astype(np.float32)
+    emg = rng.standard_normal((J, n, 1)).astype(np.float32)
+    kw = dict(sampling_freq=FS, n_surrogates=32, window_length_sec=1.0,
+              band=(8.0, 30.0), seed=3)
+
+    res = cohort_msc_null(eeg, emg, **kw)
+    ch = res["metadata"]["engine_choice"]
+    assert ch["method_run"] == "fft"
+    assert res["metadata"]["method"] == "fft_phase_randomization" \
+        or "fft" in res["metadata"]["method"]
+
+    res_rot = cohort_msc_null(eeg, emg, fft_flop_budget=1.0, **kw)
+    assert res_rot["metadata"]["engine_choice"]["method_run"] == "rotation"
+    assert res_rot["metadata"]["method"] == "taper_rotation"
+
+    # forced engines and kwarg forwarding/dropping
+    res_f = cohort_msc_null(eeg, emg, method="fft",
+                            compute_dtype=jnp.float32, **kw)
+    assert "compute_dtype" in res_f["metadata"].get(
+        "dropped_rotation_kwargs", [])

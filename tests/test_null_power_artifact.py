@@ -26,13 +26,35 @@ def artifact():
 
 
 def test_h0_calibration_all_engines(artifact):
-    """Under H0 every engine must reject at ≈ alpha (binomial noise at
-    the committed replicate count allows up to ~3x alpha)."""
+    """Under H0 every engine must reject at ≈ alpha within a binomial
+    3σ envelope at the committed replicate count (VERDICT r3 #5 — the
+    old ``3·alpha + 0.02`` bound was too lax to catch a 2×-nominal
+    defect)."""
+    import math
     alpha = artifact["config"]["alpha"]
+    R = artifact["config"]["replicates"]
+    bound = alpha + 3.0 * math.sqrt(alpha * (1 - alpha) / R)
     assert artifact["h0_rejection_rates"], "no H0 cells in the grid"
     for key, rates in artifact["h0_rejection_rates"].items():
-        for rate in rates:      # (shared, full-FFT[, per-window])
-            assert rate <= 3 * alpha + 0.02, (key, rates)
+        for rate in rates:      # (shared, full-FFT, per-window[, 2off])
+            assert rate <= bound, (key, rates, bound)
+
+
+def test_h0_highrep_consistent_with_nominal(artifact):
+    """The dedicated high-replicate H0 measurement (>=500 reps per
+    engine) must be statistically consistent with nominal alpha at a
+    binomial 3σ envelope — this is what settles r3's W=128 question."""
+    import math
+    hr = artifact.get("h0_highrep")
+    if not hr:
+        pytest.skip("artifact predates the high-replicate H0 mode")
+    alpha = hr["alpha"]
+    R = hr["replicates"]
+    assert R >= 500
+    bound = alpha + 3.0 * math.sqrt(alpha * (1 - alpha) / R)
+    for wkey, rates in hr["rates"].items():
+        for eng in ("rot", "pw", "2off", "fft"):
+            assert rates[eng] <= bound, (wkey, rates, bound)
 
 
 def test_power_increases_with_coupling(artifact):
@@ -93,3 +115,25 @@ def test_grid_covers_study_relevant_regimes(artifact):
     assert min(windows) <= 8 and max(windows) >= 128
     assert 0.0 in couplings and max(couplings) >= 1.0
     assert artifact["config"]["replicates"] >= 50
+
+
+def test_auto_engine_closes_gap(artifact):
+    """The production auto engine (cohort_msc_null) must not leave more
+    than 0.25 power on the table vs the exact full-FFT engine anywhere
+    in the sweep (VERDICT r3 #10; it picks fft at every sweep scale,
+    so this is ~0 by construction, pinned against policy regressions)."""
+    if "max_power_gap_fullfft_minus_auto" not in artifact:
+        pytest.skip("artifact predates the auto-engine sweep")
+    assert artifact["max_power_gap_fullfft_minus_auto"] <= 0.25
+
+
+def test_two_offset_documented_decision(artifact):
+    """The two-offset Bonferroni arm was measured to decide
+    adopt-or-reject: if it ever beats the single-parity rotation
+    engine by more than Monte-Carlo noise the rejection note in
+    cohort_msc_null's docstring is stale and this test flags it."""
+    if "max_power_gain_2off_over_rotation" not in artifact:
+        pytest.skip("artifact predates the two-offset arm")
+    # 2σ at 60 replicates ≈ 0.13; a gain beyond that means "adopt"
+    assert artifact["max_power_gain_2off_over_rotation"] <= 0.15, \
+        "two-offset inference now outperforms — revisit the rejection"
