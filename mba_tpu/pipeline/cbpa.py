@@ -31,7 +31,9 @@ from mba_tpu.channel_layout import EEG_CHANNELS, EEG_CHANNEL_IND_DICT
 from mba_tpu.ops.permutation import (cluster_permutation_1samp_test,
                                      delaunay_channel_adjacency,
                                      combine_adjacency, add_phase_wraparound)
-from mba_tpu.pipeline.signal_features import (fetch_stored_spectrograms,
+from mba_tpu.pipeline.signal_features import (BandAggregates,
+                                              fetch_band_aggregates,
+                                              fetch_stored_spectrograms,
                                               aggregate_psd_spectrogram,
                                               mirror_eeg_channel_list)
 from mba_tpu.pipeline import data_integration
@@ -155,9 +157,23 @@ def _load_subject_data(cfg: CBPAConfig, subject_ind: int):
         file_id = cfg.modality_file_id
         expected_ch = None
 
-    spectrogram, times, freqs = fetch_stored_spectrograms(
-        subject_feat_dir, modality=cfg.modality, file_identifier=file_id,
-        expected_n_channels=expected_ch)
+    try:
+        spectrogram, times, freqs = fetch_stored_spectrograms(
+            subject_feat_dir, modality=cfg.modality,
+            file_identifier=file_id, expected_n_channels=expected_ch)
+    except (ValueError, FileNotFoundError):
+        # lean feature store: a band-aggregate artifact (the TPU-first
+        # alternative to the full grid, signal_features.BandAggregates)
+        # carries exactly the per-(window, channel) band values
+        # _extract_band_power would reduce the grid to
+        agg = fetch_band_aggregates(subject_feat_dir, cfg.modality,
+                                    file_identifier=file_id)
+        if expected_ch is not None and agg.n_channels != expected_ch:
+            raise ValueError(
+                f"Band-aggregate artifact has {agg.n_channels} channels, "
+                f"expected {expected_ch} (modality={cfg.modality!r}, "
+                f"file_identifier={file_id!r}).")
+        spectrogram, times, freqs = agg, agg.time_centers, None
 
     times_arr = np.asarray(times, dtype=np.float64)
     if cfg.use_stretched_window_timestamps:
@@ -242,6 +258,12 @@ def _extract_band_power(cfg: CBPAConfig, spectrogram: np.ndarray,
                         freq_pooling: str = "max",
                         channel_pooling: str = "max") -> np.ndarray:
     """Band-reduce spectrogram → (n_windows, n_channels) (ref :564-649)."""
+    if isinstance(spectrogram, BandAggregates):
+        # lean artifact: band values are pre-reduced on-device with the
+        # same inclusive band bins; CMC aggregates are stored EMG-pooled
+        stat = freq_pooling if cfg.modality == "CMC" else "mean"
+        return spectrogram.select(cfg.freq_band, stat,
+                                  channel_indices=channel_indices)
     spec = spectrogram
     if cfg.modality == "CMC":
         if spec.ndim == 4:

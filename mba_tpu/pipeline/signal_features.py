@@ -536,6 +536,14 @@ def aggregate_spectrogram_over_frequency_band(
     return out
 
 
+# named frequency slices of the PSD aggregator (reference :1374-1502's
+# inline band table); shared with the band-aggregate artifact layer below
+# so both code paths select the SAME inclusive [low, high] bins
+AGGREGATE_BANDS = {'all': (0, 250), 'slow': (0, 40), 'fast': (60, 250),
+                   'delta': (0.5, 4), 'theta': (4, 8), 'alpha': (8, 12),
+                   'beta': (13, 30), 'gamma': (30, 100)}
+
+
 def aggregate_psd_spectrogram(psd_spectrograms: np.ndarray,
                               psd_freqs: np.ndarray = None,
                               normalize_mvc: bool = False,
@@ -549,9 +557,7 @@ def aggregate_psd_spectrogram(psd_spectrograms: np.ndarray,
     Order: MVC normalisation → frequency slice → channel slice →
     sequential mean/max reductions.
     """
-    bands = {'all': (0, 250), 'slow': (0, 40), 'fast': (60, 250),
-             'delta': (0.5, 4), 'theta': (4, 8), 'alpha': (8, 12),
-             'beta': (13, 30), 'gamma': (30, 100)}
+    bands = AGGREGATE_BANDS
     result = psd_spectrograms.copy()
     if normalize_mvc and not is_log_scaled:
         mvc = np.max(np.max(result, axis=0, keepdims=True), axis=1,
@@ -583,6 +589,163 @@ def aggregate_psd_spectrogram(psd_spectrograms: np.ndarray,
                     f"Unknown operator '{operator}'. Supported operators: "
                     f"'mean', 'max'")
     return result
+
+
+# --------------------------------------------------------------------------
+# band-aggregate artifacts (TPU-first lean feature store)
+# --------------------------------------------------------------------------
+class BandAggregates:
+    """Per-band {mean, max}-over-frequency reduction of a spectrogram.
+
+    The TPU-first answer to the reference's full-grid artifact chain
+    (reference signal_features.py:1033-1100 saves the complete
+    ``(windows, freqs, channels)`` spectrogram; every downstream
+    consumer — the statistics-frame builder's hypothesis aggregates
+    (reference statistics_data_preparation_workflow.py:252-336) and the
+    CBPA band-power extraction (reference cbpa.py:564-649) — immediately
+    reduces it to one named band).  Computing the reduction on-device
+    and persisting only ``(windows, n_bands, channels, 2[mean|max])``
+    cuts the device→host transfer and the disk artifact by ~2-3 orders
+    of magnitude while remaining EXACTLY sufficient for every band-level
+    consumer: band selection uses the same inclusive ``[low, high]``
+    bins as :func:`aggregate_psd_spectrogram` (``AGGREGATE_BANDS``), and
+    the stored per-(window, channel) band mean/max commutes with the
+    channel-axis reductions applied downstream.  The full grid stays
+    recomputable on demand (seconds of TPU vs tens of seconds of link).
+    """
+
+    STAT_INDEX = {'mean': 0, 'max': 1}
+
+    def __init__(self, payload: np.ndarray, time_centers: np.ndarray,
+                 band_names: list[str], band_edges: np.ndarray,
+                 modality: str = ""):
+        payload = np.asarray(payload)
+        if payload.ndim != 4 or payload.shape[3] != 2:
+            raise ValueError(
+                f"BandAggregates payload must be (windows, bands, "
+                f"channels, 2), got {payload.shape}")
+        if payload.shape[1] != len(band_names):
+            raise ValueError(
+                f"payload has {payload.shape[1]} bands but "
+                f"{len(band_names)} band names given")
+        self.payload = payload
+        self.time_centers = np.asarray(time_centers)
+        self.band_names = list(band_names)
+        self.band_edges = np.asarray(band_edges, dtype=np.float64)
+        self.modality = modality
+
+    @property
+    def n_windows(self) -> int:
+        return self.payload.shape[0]
+
+    @property
+    def n_channels(self) -> int:
+        return self.payload.shape[2]
+
+    def select(self, band: str, stat: Literal['mean', 'max'],
+               channel_indices: list[int] | None = None) -> np.ndarray:
+        """(windows, channels) band values — the downstream working set."""
+        if band not in self.band_names:
+            raise ValueError(
+                f"Band '{band}' not stored in this artifact "
+                f"(available: {self.band_names})")
+        if stat not in self.STAT_INDEX:
+            raise ValueError(f"Unknown stat '{stat}' (mean|max)")
+        out = self.payload[:, self.band_names.index(band), :,
+                           self.STAT_INDEX[stat]]
+        if channel_indices is not None:
+            out = out[:, channel_indices]
+        return out
+
+
+def band_aggregate_spectrogram(spectrogram, freqs,
+                               bands: dict | None = None):
+    """Reduce (windows, freqs, channels) → (windows, bands, channels, 2).
+
+    Stat axis is ``[mean, max]`` over the band's frequency bins, selected
+    with the same inclusive ``(freqs >= low) & (freqs <= high)`` rule as
+    :func:`aggregate_psd_spectrogram` so downstream band consumers get
+    bit-compatible values.  Accepts a device (jax) array — the reduction
+    then runs on-chip and only the tiny aggregate crosses the link — or
+    a host numpy array (NaN-aware, matching the aggregator's
+    nanmean/nanmax).  Bands whose range exceeds the available frequency
+    axis are dropped (a 'fast' 60-250 Hz band cannot be represented at
+    fs=100); empty-bin bands are dropped likewise.
+    """
+    if bands is None:
+        bands = AGGREGATE_BANDS
+    freqs = np.asarray(freqs)
+    names, edges, masks = [], [], []
+    for name, (low, high) in bands.items():
+        sel = (freqs >= low) & (freqs <= high)
+        if not sel.any():
+            continue
+        names.append(name)
+        edges.append((low, high))
+        masks.append(sel)
+    if not names:
+        raise ValueError("No requested band overlaps the frequency axis")
+
+    is_device = not isinstance(spectrogram, np.ndarray)
+    if is_device:
+        import jax.numpy as jnp
+        cols = []
+        for sel in masks:
+            sub = spectrogram[:, np.where(sel)[0], :]
+            all_nan = jnp.isnan(sub).all(axis=1)
+            mean = jnp.nanmean(sub, axis=1)
+            mx = jnp.where(all_nan, jnp.nan, jnp.nanmax(
+                jnp.where(jnp.isnan(sub), -jnp.inf, sub), axis=1))
+            cols.append(jnp.stack([mean, mx], axis=-1))
+        payload = jnp.stack(cols, axis=1)
+    else:
+        spectrogram = np.asarray(spectrogram)
+        cols = []
+        with np.errstate(all='ignore'):
+            import warnings as _warnings
+            with _warnings.catch_warnings():
+                _warnings.simplefilter("ignore", RuntimeWarning)
+                for sel in masks:
+                    sub = np.compress(sel, spectrogram, axis=1)
+                    cols.append(np.stack([np.nanmean(sub, axis=1),
+                                          np.nanmax(sub, axis=1)],
+                                         axis=-1))
+        payload = np.stack(cols, axis=1)
+    return payload, names, np.asarray(edges, dtype=np.float64)
+
+
+def save_band_aggregates(payload, time_centers: np.ndarray,
+                         band_names: list[str], band_edges: np.ndarray,
+                         modality: str, save_dir: str | Path,
+                         identifier_suffix: str = "") -> Path:
+    """Persist a :class:`BandAggregates` artifact (single ``.npz``)."""
+    save_dir = Path(save_dir)
+    payload = np.asarray(payload, dtype=np.float32)
+    sfx = f" {identifier_suffix}" if identifier_suffix else ""
+    title = (f"{modality} Band Aggregates {payload.shape[2]}ch "
+             f"{payload.shape[1]}bands{sfx}")
+    path = save_dir / filemgmt.file_title(title, ".npz")
+    np.savez(path, payload=payload,
+             time_centers=np.asarray(time_centers),
+             band_names=np.asarray(band_names),
+             band_edges=np.asarray(band_edges, dtype=np.float64))
+    print(f"Saved {modality} band aggregates of shape {payload.shape} "
+          f"to {path}")
+    return path
+
+
+def fetch_band_aggregates(dir: Path | str, modality: str,
+                          file_identifier=None) -> BandAggregates:
+    """Load the most recent band-aggregate artifact matching keywords."""
+    ids = ([file_identifier] if isinstance(file_identifier, str)
+           else file_identifier if file_identifier is not None else [])
+    path = filemgmt.most_recent_file(
+        dir, ".npz", [modality, "Band Aggregates"] + ids)
+    with np.load(path, allow_pickle=False) as z:
+        return BandAggregates(
+            z["payload"].astype(np.float32), z["time_centers"],
+            [str(s) for s in z["band_names"]], z["band_edges"],
+            modality=modality)
 
 
 # --------------------------------------------------------------------------

@@ -139,41 +139,77 @@ def build_subject_frame(subject_ind: int, experiment_data_dir: Path,
     frame = pd.DataFrame(index=range(len(seg_starts)))
 
     # ── PSD hypotheses (reference :252-294) ───────────────────────────
+    # A band-aggregate artifact (the TPU-first lean feature store,
+    # features.BandAggregates) is preferred when present: its stored
+    # per-(window, channel) band means are exactly the values the
+    # full-grid aggregation below computes, because the band mean over
+    # frequency commutes with the subsequent channel-axis reduction.
+    # Absent the artifact, the reference-parity full-spectrogram path
+    # runs unchanged.
     for modality, region_label, channels, band in psd_hypotheses:
-        spec, times, freqs = features.fetch_stored_spectrograms(
-            subject_feat_dir, modality='PSD', file_identifier=modality)
+        ch_idx = ([EEG_CHANNEL_IND_DICT[ch] for ch in channels]
+                  if channels is not None else None)
+        ch_op = np.nanmean if 'eeg' in modality else np.nanmax
+        try:
+            agg_art = features.fetch_band_aggregates(
+                subject_feat_dir, 'PSD', file_identifier=modality)
+        except (ValueError, FileNotFoundError):
+            agg_art = None
+        if agg_art is not None:
+            n_times = agg_art.n_windows
+            per_channel = agg_art.select(band, 'mean',
+                                         channel_indices=ch_idx)
+            aggregated = ch_op(per_channel, axis=1)
+        else:
+            spec, times, freqs = features.fetch_stored_spectrograms(
+                subject_feat_dir, modality='PSD', file_identifier=modality)
+            n_times = len(times)
+            aggregated = features.aggregate_psd_spectrogram(
+                spec, freqs, normalize_mvc=False,
+                channel_indices=ch_idx,
+                is_log_scaled=psd_is_log_scaled, freq_slice=band,
+                aggregation_ops=[('mean', 1),
+                                 ('mean' if 'eeg' in modality
+                                  else 'max', 1)])
         timestamps = data_analysis.make_timezone_aware(
             data_analysis.add_time_index(
                 start_timestamp=qtc_start + pd.Timedelta(
                     seconds=psd_time_window_size_sec / 2),
                 end_timestamp=qtc_end - pd.Timedelta(
                     seconds=psd_time_window_size_sec / 2),
-                n_timesteps=len(times)))
-        aggregated = features.aggregate_psd_spectrogram(
-            spec, freqs, normalize_mvc=False,
-            channel_indices=[EEG_CHANNEL_IND_DICT[ch] for ch in channels]
-            if channels is not None else None,
-            is_log_scaled=psd_is_log_scaled, freq_slice=band,
-            aggregation_ops=[('mean', 1),
-                             ('mean' if 'eeg' in modality else 'max', 1)])
+                n_timesteps=n_times))
         frame[f"PSD_{modality}_{region_label}_{band}"] = _segment_op(
             seg_starts, seg_ends, aggregated, timestamps)
 
     # ── CMC DVs (reference :296-336) ──────────────────────────────────
     for muscle, operator, band in cmc_dvs:
-        spec, times, freqs = features.fetch_stored_spectrograms(
-            subject_feat_dir, modality='CMC', file_identifier=muscle)
+        try:
+            agg_art = features.fetch_band_aggregates(
+                subject_feat_dir, 'CMC', file_identifier=muscle)
+        except (ValueError, FileNotFoundError):
+            agg_art = None
+        if agg_art is not None:
+            n_times = agg_art.n_windows
+            # stored per-channel band MAX, then the DV's channel op —
+            # the same [('max', 1), (operator, 1)] order as below
+            per_channel = agg_art.select(band, 'max')
+            ch_op = np.nanmean if operator == 'mean' else np.nanmax
+            aggregated = ch_op(per_channel, axis=1)
+        else:
+            spec, times, freqs = features.fetch_stored_spectrograms(
+                subject_feat_dir, modality='CMC', file_identifier=muscle)
+            n_times = len(times)
+            aggregated = features.aggregate_psd_spectrogram(
+                spec, freqs, normalize_mvc=False, is_log_scaled=False,
+                freq_slice=band,
+                aggregation_ops=[('max', 1), (operator, 1)])
         timestamps = data_analysis.make_timezone_aware(
             data_analysis.add_time_index(
                 start_timestamp=qtc_start + pd.Timedelta(
                     seconds=cmc_time_window_size_sec / 2),
                 end_timestamp=qtc_end - pd.Timedelta(
                     seconds=cmc_time_window_size_sec / 2),
-                n_timesteps=len(times)))
-        aggregated = features.aggregate_psd_spectrogram(
-            spec, freqs, normalize_mvc=False, is_log_scaled=False,
-            freq_slice=band,
-            aggregation_ops=[('max', 1), (operator, 1)])
+                n_timesteps=n_times))
         frame[f"CMC_{muscle}_{operator}_{band}"] = _segment_op(
             seg_starts, seg_ends, aggregated, timestamps)
 
