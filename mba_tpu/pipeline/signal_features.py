@@ -327,6 +327,9 @@ def compute_task_wise_aggregated_cmc(
         transfer_dtype=transfer_dtype)
     if timings_out is not None:
         timings_out.update(output.get('timings', {}))
+        # expose the kept taper count: the Beta(K−2, K−2) independence
+        # threshold (reference :470-481) needs it downstream
+        timings_out['K_tapers'] = output['metadata']['K_tapers']
 
     time_centers = output['time_centers']
     freqs = output['freqs']
