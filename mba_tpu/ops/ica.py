@@ -37,12 +37,26 @@ def _extended_infomax(key, x_white, n_comp, block, max_iter,
     n_blocks = n_samples // block
     eye = jnp.eye(n_comp, dtype=jnp.float32)
 
+    # Batch layout, TPU-first.  MNE permutes SAMPLES each epoch; on TPU
+    # that is a 3.5M-key sort plus a row gather of the whole (n, C)
+    # array at 100 B granularity — measured ~90-360 ms per epoch at
+    # study scale, 3-10× the cost of the actual natural-gradient scan
+    # (~33 ms; tools/profile_ica.py).  Instead the blocks are built
+    # ONCE as a decimated comb — block b = samples {i·n_blocks + b},
+    # each block spanning the whole recording with its samples
+    # ~n_blocks (≈1.6 s) apart — which decorrelates better than an iid
+    # draw packs into contiguous memory; per epoch only the (cheap,
+    # contiguous) block ORDER is rotated.  Convergence quality is
+    # pinned by the planted-source recovery tests (tests/test_ops_ica
+    # .py) and the study-scale sweep (BENCH_ICA.json).
+    x_comb = x_white[: n_blocks * block].reshape(
+        (block, n_blocks, n_comp)).transpose(1, 0, 2)
+
     def epoch(state):
         key, w, signs, lrate, old_w, old_d_w, angle_delta, step, done = state
         key, sub = jax.random.split(key)
-        perm = jax.random.permutation(sub, n_samples)
-        data = x_white[perm[:n_blocks * block]].reshape(
-            (n_blocks, block, n_comp))
+        shift = jax.random.randint(sub, (), 0, n_blocks)
+        data = jnp.roll(x_comb, shift, axis=0)
 
         def batch_step(w, xb):
             u = xb @ w                                     # (block, n)
@@ -55,7 +69,10 @@ def _extended_infomax(key, x_white, n_comp, block, max_iter,
                                   - u.T @ u))
             return w, jnp.sum(u ** 2)  # carry source energy for diagnostics
 
-        w_new, _ = jax.lax.scan(batch_step, w, data)
+        # unroll: the chain is serial either way, but unrolling lets XLA
+        # overlap the (block,C) HBM reads of step i+1 with step i's tiny
+        # matmuls instead of paying the loop turnaround per step
+        w_new, _ = jax.lax.scan(batch_step, w, data, unroll=8)
 
         # kurtosis-based sign update (sub- vs super-Gaussian components)
         u_all = x_white[:min(n_samples, 6000)] @ w_new
@@ -140,11 +157,13 @@ class InfomaxICA:
     """
 
     def __init__(self, n_components: int, max_iter: int = 500,
-                 random_state: int = 42, l_rate: float | None = None):
+                 random_state: int = 42, l_rate: float | None = None,
+                 block: int | None = None):
         self.n_components = n_components
         self.max_iter = max_iter
         self.random_state = random_state
         self.l_rate = l_rate
+        self.block = block
         self.exclude: list[int] = []
 
     def fit(self, data: np.ndarray) -> "InfomaxICA":
@@ -176,8 +195,18 @@ class InfomaxICA:
         x_white = _project(x_d, mean_d,
                            jnp.asarray(self._whitener, jnp.float32))
 
-        block = int(np.floor(np.sqrt(n_samples / 3.0)))
+        # MNE/EEGLAB block heuristic √(n/3).  With the roll+strided
+        # batch layout the epoch is data-bound, not step-bound
+        # (tools/profile_ica.py: ~10 µs/step at the default block,
+        # per-epoch scan ≈ constant across block sizes), so the
+        # MNE-equivalent default stays; ``block`` is exposed for
+        # experiments.
+        if self.block is not None:
+            block = int(self.block)
+        else:
+            block = int(np.floor(np.sqrt(n_samples / 3.0)))
         block = max(8, min(block, n_samples))
+        self.block_ = block
         l_rate = self.l_rate or 0.01 / np.log(n_comp ** 2.0)
         w, n_iter = _extended_infomax(
             jax.random.PRNGKey(self.random_state),
