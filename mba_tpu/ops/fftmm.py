@@ -77,29 +77,24 @@ def _factors(n: int):
     return n1, n2, c1, s1, wr, wi, c2, s2
 
 
-@functools.partial(jax.jit, static_argnames=("n", "axis"))
-def _rfft_mxu_jit(x, n: int, axis: int):
+@functools.partial(jax.jit, static_argnames=("n", "axis", "precision"))
+def _rfft_mxu_jit(x, n: int, axis: int, precision=None):
     n1, n2, c1, s1, wr, wi, c2, s2 = _factors(n)
+    mm = dict(preferred_element_type=jnp.float32, precision=precision)
     x = jnp.moveaxis(x, axis, -1).astype(jnp.float32)
     batch = x.shape[:-1]
     xr = x.reshape(batch + (n1, n2))        # x[j1, j2] = x[n2*j1 + j2]
     # stage 1: contract j1 (real input -> complex out as two matmuls)
-    yr = jnp.einsum("kj,...jn->...kn", c1, xr,
-                    preferred_element_type=jnp.float32)
-    yi = jnp.einsum("kj,...jn->...kn", s1, xr,
-                    preferred_element_type=jnp.float32)
+    yr = jnp.einsum("kj,...jn->...kn", c1, xr, **mm)
+    yi = jnp.einsum("kj,...jn->...kn", s1, xr, **mm)
     # twiddle (elementwise; XLA fuses into the surrounding matmuls)
     zr = yr * wr - yi * wi
     zi = yr * wi + yi * wr
     # stage 2: contract j2, onesided k2
-    xr2 = jnp.einsum("...kj,jm->...km", zr, c2,
-                     preferred_element_type=jnp.float32) \
-        - jnp.einsum("...kj,jm->...km", zi, s2,
-                     preferred_element_type=jnp.float32)
-    xi2 = jnp.einsum("...kj,jm->...km", zr, s2,
-                     preferred_element_type=jnp.float32) \
-        + jnp.einsum("...kj,jm->...km", zi, c2,
-                     preferred_element_type=jnp.float32)
+    xr2 = jnp.einsum("...kj,jm->...km", zr, c2, **mm) \
+        - jnp.einsum("...kj,jm->...km", zi, s2, **mm)
+    xi2 = jnp.einsum("...kj,jm->...km", zr, s2, **mm) \
+        + jnp.einsum("...kj,jm->...km", zi, c2, **mm)
     # reorder k = k1 + n1*k2: (..., k1, k2) -> (..., k2, k1) -> flat
     out_r = jnp.swapaxes(xr2, -1, -2).reshape(batch + (n1 * (n2 // 2 + 1),))
     out_i = jnp.swapaxes(xi2, -1, -2).reshape(batch + (n1 * (n2 // 2 + 1),))
@@ -109,17 +104,20 @@ def _rfft_mxu_jit(x, n: int, axis: int):
     return jnp.moveaxis(out, -1, axis)
 
 
-def rfft_mxu(x, axis: int = -1):
+def rfft_mxu(x, axis: int = -1, precision=None):
     """Onesided FFT of real input via MXU matmuls — drop-in for
     ``jnp.fft.rfft(x, axis=axis)`` at power-of-2 lengths.
 
-    f32 matmul arithmetic end to end; max abs error vs the reference
-    FFT is ~1e-4 of the spectral peak at n=4096 (tested), i.e. the same
-    order as f32 FFT round-off itself.
+    precision : forwarded to the matmuls.  At the TPU default the MXU
+        truncates the f32 inputs to bf16 per pass → spectrum-sum rel
+        err ~7e-4 (BENCH_FFTMM.json).  ``jax.lax.Precision.HIGHEST``
+        (f32 via multi-pass bf16) restores ~1e-6 accuracy at ~3-6×
+        the matmul cost — the A/B that settles whether the MXU path
+        can hold the framework's parity bar (tools/bench_fftmm.py).
     """
     n = x.shape[axis]
     ax = axis if axis >= 0 else x.ndim + axis
-    return _rfft_mxu_jit(x, n, ax)
+    return _rfft_mxu_jit(x, n, ax, precision)
 
 
 def use_mxu_fft() -> bool:

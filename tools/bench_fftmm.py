@@ -61,27 +61,40 @@ def main():
                 return acc + jnp.sum(jnp.abs(s))
             return jax.lax.fori_loop(0, INNER_REPS, body, jnp.float32(0))
 
+        import functools
+        hi = jax.lax.Precision.HIGHEST
         native = jax.jit(lambda fn=jnp.fft.rfft: repeat(fn))
         mxu = jax.jit(lambda fn=rfft_mxu: repeat(fn))
+        mxu_f32 = jax.jit(lambda fn=functools.partial(
+            rfft_mxu, precision=hi): repeat(fn))
 
         t_native = _time(lambda: float(native()))
         t_mxu = _time(lambda: float(mxu()))
-        err = abs(float(native()) - float(mxu())) / abs(float(native()))
+        t_mxu_f32 = _time(lambda: float(mxu_f32()))
+        ref = float(native())
+        err = abs(ref - float(mxu())) / abs(ref)
+        err_f32 = abs(ref - float(mxu_f32())) / abs(ref)
         n = shape[axis]
         n_ffts = int(np.prod(shape)) // n * INNER_REPS
         case = {
             "case": label,
             "native_rfft_sec": round(t_native, 5),
             "mxu_rfft_sec": round(t_mxu, 5),
+            "mxu_f32acc_rfft_sec": round(t_mxu_f32, 5),
             "speedup_mxu_vs_native": round(t_native / t_mxu, 2),
+            "speedup_mxu_f32acc_vs_native": round(t_native / t_mxu_f32, 2),
             "n_ffts": n_ffts,
             "fft_len": n,
             "abs_spectrum_sum_rel_err": float(f"{err:.2e}"),
+            "abs_spectrum_sum_rel_err_f32acc": float(f"{err_f32:.2e}"),
         }
         out["cases"].append(case)
         print(f"[{label}] native {t_native*1e3:.1f} ms, "
               f"mxu {t_mxu*1e3:.1f} ms "
-              f"({case['speedup_mxu_vs_native']}x), rel err {err:.1e}",
+              f"({case['speedup_mxu_vs_native']}x, err {err:.1e}), "
+              f"mxu-f32 {t_mxu_f32*1e3:.1f} ms "
+              f"({case['speedup_mxu_f32acc_vs_native']}x, "
+              f"err {err_f32:.1e})",
               file=sys.stderr)
 
     (REPO / "BENCH_FFTMM.json").write_text(json.dumps(out, indent=1))
