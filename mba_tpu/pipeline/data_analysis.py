@@ -130,9 +130,21 @@ def apply_window_operator(
     # assign samples → windows (later windows overwrite earlier on overlap)
     tvals = target_times.asi8
     window_indices = np.full(len(tvals), -1, dtype=np.int64)
-    for i, (start, end) in enumerate(zip(window_starts.asi8,
-                                         window_ends.asi8)):
-        window_indices[(tvals >= start) & (tvals <= end)] = i
+    starts_i8 = window_starts.asi8
+    ends_i8 = window_ends.asi8
+    if target_times.is_monotonic_increasing:
+        # samples inside [start, end] form one contiguous slice of the
+        # sorted time axis; writing slices in window order preserves the
+        # last-window-wins overlap semantics at O(W log N) instead of
+        # the O(W·N) boolean-mask sweep (stage-4 hot path: ~85k serial
+        # samples × up to 300 segments × ~10 columns per subject)
+        lo = np.searchsorted(tvals, starts_i8, side="left")
+        hi = np.searchsorted(tvals, ends_i8, side="right")
+        for i in range(len(starts_i8)):
+            window_indices[lo[i]:hi[i]] = i
+    else:
+        for i, (start, end) in enumerate(zip(starts_i8, ends_i8)):
+            window_indices[(tvals >= start) & (tvals <= end)] = i
 
     moved = np.moveaxis(target_array, axis, 0)
     moved_shape = moved.shape
@@ -150,11 +162,19 @@ def apply_window_operator(
         except TypeError:
             return False
 
+    # group samples by assigned window: one stable argsort replaces the
+    # per-window `window_indices == w` sweep (O(N log N) vs O(W·N));
+    # stable sort keeps each group in original sample order, matching
+    # the boolean mask's ascending gather exactly
+    order = np.argsort(window_indices, kind="stable")
+    sorted_wi = window_indices[order]
+    grp_lo = np.searchsorted(sorted_wi, np.arange(n_windows), side="left")
+    grp_hi = np.searchsorted(sorted_wi, np.arange(n_windows),
+                             side="right")
     for w in range(n_windows):
-        sel = window_indices == w
-        if not np.any(sel):
+        if grp_lo[w] == grp_hi[w]:
             continue
-        data = flat[sel, :]
+        data = flat[order[grp_lo[w]:grp_hi[w]], :]
         if _is_all_null(data) and w < first_valid_slot:
             continue  # expected NaN pad before the first valid slot
         try:

@@ -1136,13 +1136,21 @@ def fetch_music_features(log_df: pd.DataFrame,
                              'BPM_manual', 'Spectral Flux Mean',
                              'Spectral Centroid Mean', 'IOI Variance Coeff',
                              'Syncopation Ratio')) -> list[float]:
-    """Song-level music features from the lookup table (ref :2092-2154)."""
-    if music_lookup_table_path is None:
-        lookup_dir = (Path().resolve().parent / "data"
-                      / "song_characteristics")
-        music_lookup_table_path = filemgmt.most_recent_file(
-            lookup_dir, ".csv", ["Lookup Table"])
-    lookup = pd.read_csv(music_lookup_table_path)
+    """Song-level music features from the lookup table (ref :2092-2154).
+
+    ``music_lookup_table_path`` may also be a pre-read lookup
+    ``DataFrame`` — callers resolving features for many trials (the
+    statistics-frame builder) read the CSV once instead of per call.
+    """
+    if isinstance(music_lookup_table_path, pd.DataFrame):
+        lookup = music_lookup_table_path
+    else:
+        if music_lookup_table_path is None:
+            lookup_dir = (Path().resolve().parent / "data"
+                          / "song_characteristics")
+            music_lookup_table_path = filemgmt.most_recent_file(
+                lookup_dir, ".csv", ["Lookup Table"])
+        lookup = pd.read_csv(music_lookup_table_path)
 
     if song_id is None and trial_id is None:
         raise ValueError("Must provide either song or trial ID")

@@ -272,14 +272,21 @@ def build_subject_frame(subject_ind: int, experiment_data_dir: Path,
             accuracy[row] = float(val) if not pd.isna(val) else \
                 float('nan')
 
-    # music features per segment's trial (reference :494-499)
+    # music features per segment's trial (reference :494-499); the
+    # lookup CSV is read once and features resolved once per unique
+    # trial (segments of one trial share its song)
     if music_lookup_table_path is not None:
-        music_tuples = [
-            data_integration.fetch_music_features(
-                log_df, trial_id=tid,
-                music_lookup_table_path=music_lookup_table_path,
+        lookup_df = (music_lookup_table_path
+                     if isinstance(music_lookup_table_path, pd.DataFrame)
+                     else pd.read_csv(music_lookup_table_path))
+        per_trial = {
+            int(tid): data_integration.fetch_music_features(
+                log_df, trial_id=int(tid),
+                music_lookup_table_path=lookup_df,
                 features_to_return=MUSIC_FEATURES_TO_FETCH)
-            if not pd.isna(tid)
+            for tid in pd.unique(pd.Series(trial_id).dropna())}
+        music_tuples = [
+            per_trial[int(tid)] if not pd.isna(tid)
             else [np.nan] * len(MUSIC_FEATURES_TO_FETCH)
             for tid in trial_id]
     else:

