@@ -44,6 +44,7 @@ import jax
 import jax.numpy as jnp
 from scipy.stats import t as _t_dist
 
+from mba_tpu.ops.fftmm import rfft_prod
 from mba_tpu.ops.dpss import (dpss_windows, filtered_tapers,
                               cmc_independence_threshold_host)
 from mba_tpu.ops.framing import frame_signal, window_grid
@@ -82,9 +83,9 @@ def _msc_chunk_kernel(eeg_frames, emg_frames, tapers, inv_fs_n, t_crit,
     """
     K = tapers.shape[0]
     # taper-expanded spectra: (w, K, F, ch)
-    eeg_fft = jnp.fft.rfft(
+    eeg_fft = rfft_prod(
         eeg_frames[:, None, :, :] * tapers[None, :, :, None], axis=2)
-    emg_fft = jnp.fft.rfft(
+    emg_fft = rfft_prod(
         emg_frames[:, None, :, :] * tapers[None, :, :, None], axis=2)
 
     psd_e_k = (eeg_fft.real ** 2 + eeg_fft.imag ** 2) * inv_fs_n  # (w,K,F,E)

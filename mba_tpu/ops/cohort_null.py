@@ -91,6 +91,7 @@ import jax
 import jax.numpy as jnp
 
 from mba_tpu.ops.dpss import filtered_tapers
+from mba_tpu.ops.fftmm import rfft_prod as _rfft_prod
 from mba_tpu.ops.framing import frame_signal, window_grid
 from mba_tpu.utils.profiling import hard_sync as _hard_sync
 
@@ -190,10 +191,10 @@ def _rotation_coeffs_body(eeg, emg, starts, weights, tapers,
             jnp.float32)                                  # (wc, S, E)
         mf = frame_signal(emg, cs, window_samples).astype(
             jnp.float32)                                  # (wc, S, M)
-        Ef = jnp.fft.rfft(ef[:, None] * tapers[None, :, :, None],
-                          axis=2)[:, :, band_lo:band_hi]  # (wc, K, F, E)
-        Mf = jnp.fft.rfft(mf[:, None] * tapers[None, :, :, None],
-                          axis=2)[:, :, band_lo:band_hi]  # (wc, K, F, M)
+        Ef = _rfft_prod(ef[:, None] * tapers[None, :, :, None],
+                        axis=2)[:, :, band_lo:band_hi]    # (wc, K, F, E)
+        Mf = _rfft_prod(mf[:, None] * tapers[None, :, :, None],
+                        axis=2)[:, :, band_lo:band_hi]    # (wc, K, F, M)
         pe = (Ef.real ** 2 + Ef.imag ** 2).sum(axis=1)    # (wc, F, E)
         pm = (Mf.real ** 2 + Mf.imag ** 2).sum(axis=1)    # (wc, F, M)
         den = jnp.maximum(pe[..., :, None] * pm[..., None, :], _F32_TINY)

@@ -13,13 +13,14 @@ systolic array.
 **Measured honestly** (``tools/bench_fftmm.py`` → ``BENCH_FFTMM.json``,
 device-resident, in-jit repeat loops past the tunnel readback floor):
 XLA's native TPU rfft is already strong at this framework's shapes —
-the matmul path wins **1.16-1.46×** (best on big flat batches of
-n=4096, least inside the coefficient-pass layout).  That is real but
-small next to where the actual wall time goes (HBM traffic, host
-links), so the production kernels keep ``jnp.fft.rfft``; this op is
-exported for workloads where a 1.3× FFT matters and as the measured
-record that the obvious "FFT is slow on TPU" hypothesis was tested
-and mostly rejected on this chip.
+the bf16-accumulation matmul path wins **1.26-1.39×** but its ~7e-4
+spectrum error fails the parity bar.  The round-4 f32-accumulation
+A/B settled adoption: **1.11-1.30×** at rel-err ≤ 1.4e-7 across all
+three production shape regimes, so the production window-FFT sites
+(coherence, spectral, surrogate, cohort_null, gram_coeffs,
+pallas_msc) now route through :func:`rfft_prod`, which picks the MXU
+f32-accumulation path on real TPU backends at power-of-2 window
+lengths and falls back to ``jnp.fft.rfft`` everywhere else.
 
 Only the onesided (rfft) spectrum is materialized: stage 2 evaluates
 ``k2 in [0, n2/2]`` so ~half the second matmul is skipped.  All
@@ -128,3 +129,39 @@ def use_mxu_fft() -> bool:
         return jax.devices()[0].platform == "tpu"
     except Exception:
         return False
+
+
+# Production window-FFT dispatch bounds: the MXU path was measured a
+# win at n in {2048, 4096} (BENCH_FFTMM.json); below ~1024 the matmuls
+# are too small to feed the systolic array, above 64k the factor
+# tables (n1 x n1, up to 2048²) start to cost real VMEM/HBM and no
+# production window is that long.
+_PROD_MIN_LEN = 1024
+_PROD_MAX_LEN = 65536
+
+
+def rfft_prod(x, axis: int = -1):
+    """Production ``rfft``: the f32-accumulation MXU path where it is a
+    measured win, ``jnp.fft.rfft`` everywhere else.
+
+    The round-4 A/B (tools/bench_fftmm.py → BENCH_FFTMM.json, real
+    chip) settled the adoption question: with
+    ``precision=HIGHEST`` (f32 accumulation on the MXU) the matmul
+    decomposition beats XLA's native TPU rfft at every production
+    window shape — 1.11× (CMC 2-s window batch, n=4096), 1.18× (PSD
+    1-s window batch, n=2048), 1.30× (coefficient-pass chunk layout)
+    — at spectrum-sum rel-err ≤ 1.4e-7, i.e. inside f32 round-off and
+    far inside the framework's 1e-5 parity bar.  The bf16-accumulation
+    variant is faster still (1.26-1.39×) but its ~7e-4 error fails the
+    parity bar, so it stays opt-in via ``rfft_mxu(precision=None)``.
+
+    Dispatch guard (all trace-time static): real TPU backend,
+    power-of-2 length in [1024, 65536], float input.  Everything else
+    (CPU tests, odd lengths, the ~3.4M-point whole-recording surrogate
+    FFT) takes the native path unchanged.
+    """
+    n = x.shape[axis]
+    if (_PROD_MIN_LEN <= n <= _PROD_MAX_LEN and not (n & (n - 1))
+            and jnp.issubdtype(x.dtype, jnp.floating) and use_mxu_fft()):
+        return rfft_mxu(x, axis=axis, precision=jax.lax.Precision.HIGHEST)
+    return jnp.fft.rfft(x, axis=axis)

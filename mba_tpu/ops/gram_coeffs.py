@@ -142,8 +142,9 @@ def gram_coeffs_subject(eeg, emg, starts, weights, tapers,
         """(n, C) signal + (gc,) starts → Re/Im (gc, K, F, C) f32."""
         fr = frame_signal(sig, cs, window_samples).astype(jnp.float32)
         if spectra == "fft":
-            Xf = jnp.fft.rfft(fr[:, None] * tapers[None, :, :, None],
-                              axis=2)[:, :, band_lo:band_hi]
+            from mba_tpu.ops.fftmm import rfft_prod
+            Xf = rfft_prod(fr[:, None] * tapers[None, :, :, None],
+                           axis=2)[:, :, band_lo:band_hi]
             return Xf.real, Xf.imag                      # (gc, K, F, C)
         C = sig.shape[1]
         Xq = jnp.einsum("wsc,sq->wcq", fr, D,

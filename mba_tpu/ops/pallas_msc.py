@@ -189,9 +189,10 @@ def msc_chunk_pallas(eeg_frames, emg_frames, tapers, t_crit,
                      interpret: bool = False, emg_max: bool = True):
     """Drop-in for ``_msc_chunk_kernel(..., use_jackknife=True)``:
     rFFT in XLA, epilogue in Pallas."""
-    eeg_fft = jnp.fft.rfft(
+    from mba_tpu.ops.fftmm import rfft_prod
+    eeg_fft = rfft_prod(
         eeg_frames[:, None, :, :] * tapers[None, :, :, None], axis=2)
-    emg_fft = jnp.fft.rfft(
+    emg_fft = rfft_prod(
         emg_frames[:, None, :, :] * tapers[None, :, :, None], axis=2)
     return msc_jackknife_maxpool_pallas(
         eeg_fft.real.astype(jnp.float32),

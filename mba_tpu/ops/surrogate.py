@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from mba_tpu.ops.dpss import filtered_tapers
+from mba_tpu.ops.fftmm import rfft_prod
 from mba_tpu.ops.framing import frame_signal, window_grid
 
 _F32_TINY = np.float32(np.finfo(np.float32).tiny)
@@ -242,8 +243,8 @@ def _make_sharded_null_step(mesh, window_samples: int, chunk: int,
 def _msc_spectrum_mean(eeg_frames, emg_frames, tapers, inv_fs_n):
     """Window-averaged MSC spectrum: (W,S,E),(W,S,M) → (F, E, M)."""
     K = tapers.shape[0]
-    E = jnp.fft.rfft(eeg_frames[:, None] * tapers[None, :, :, None], axis=2)
-    M = jnp.fft.rfft(emg_frames[:, None] * tapers[None, :, :, None], axis=2)
+    E = rfft_prod(eeg_frames[:, None] * tapers[None, :, :, None], axis=2)
+    M = rfft_prod(emg_frames[:, None] * tapers[None, :, :, None], axis=2)
     pe = ((E.real ** 2 + E.imag ** 2) * inv_fs_n).sum(axis=1) / K
     pm = ((M.real ** 2 + M.imag ** 2) * inv_fs_n).sum(axis=1) / K
     cs = (jnp.conj(E)[..., :, None] * M[..., None, :] * inv_fs_n

@@ -62,3 +62,43 @@ class TestRfftMxu:
                  + 2 * np.sum(np.abs(spec[1:-1]) ** 2))
         np.testing.assert_allclose(power, n * np.sum(x.astype(np.float64)**2),
                                    rtol=1e-4)
+
+
+class TestRfftProd:
+    """Production dispatcher: MXU f32-accumulation on TPU, native
+    elsewhere (BENCH_FFTMM.json round-4 adoption A/B)."""
+
+    def test_cpu_falls_back_to_native(self):
+        # tests run on the CPU backend -> dispatcher must return the
+        # bit-exact native rfft
+        from mba_tpu.ops.fftmm import rfft_prod
+        import jax.numpy as jnp
+        rng = np.random.default_rng(1)
+        x = rng.standard_normal((4, 2048)).astype(np.float32)
+        np.testing.assert_array_equal(np.asarray(rfft_prod(x)),
+                                      np.asarray(jnp.fft.rfft(x)))
+
+    @pytest.mark.parametrize("n", [1000, 512, 131072])
+    def test_out_of_range_lengths_fall_back(self, n):
+        # odd / too-short / too-long lengths must take the native path
+        # on every backend (the MXU guard is length-gated)
+        from mba_tpu.ops.fftmm import rfft_prod
+        import jax.numpy as jnp
+        rng = np.random.default_rng(n)
+        x = rng.standard_normal((2, n)).astype(np.float32)
+        got = np.asarray(rfft_prod(x))
+        want = np.asarray(jnp.fft.rfft(x))
+        np.testing.assert_array_equal(got, want)
+
+    @pytest.mark.parametrize("n", [2048, 4096])
+    def test_f32acc_path_holds_parity_bar(self, n):
+        # the exact kernel the TPU dispatch runs (HIGHEST precision),
+        # forced on CPU: must sit inside the framework's 1e-5 bar,
+        # ~50x tighter than the bf16 default path's 7e-4
+        import jax
+        rng = np.random.default_rng(n)
+        x = rng.standard_normal((8, n)).astype(np.float32)
+        got = np.asarray(rfft_mxu(x, precision=jax.lax.Precision.HIGHEST))
+        want = np.fft.rfft(x.astype(np.float64))
+        scale = np.abs(want).max()
+        np.testing.assert_allclose(got, want, atol=1e-5 * scale)
