@@ -106,8 +106,22 @@ def build_subject_frame(subject_ind: int, experiment_data_dir: Path,
                         task_end_transient_cutoff_sec: float = 2.0,
                         music_lookup_table_path=None,
                         psd_hypotheses=None,
-                        cmc_dvs=None) -> pd.DataFrame:
-    """One subject's rows of the Combined Statistics frame."""
+                        cmc_dvs=None,
+                        input_cache: dict | None = None) -> pd.DataFrame:
+    """One subject's rows of the Combined Statistics frame.
+
+    ``input_cache`` — optional dict shared across calls.  Everything a
+    subject's rows need that does NOT depend on
+    ``n_within_trial_segments`` (the enriched log/serial frames and
+    their timezone conversion, QTC bounds, personal data, per-trial
+    accuracy traces, per-trial music features) is stored under
+    ``(subject_ind, kind, ...)`` keys and reused on later calls — the
+    study workflow builds the frame at four segment resolutions, and
+    without the cache each repeats every CSV read and enrichment pass.
+    Cached frames are served by reference and must be treated
+    read-only (this function only reads them).  Pass a fresh dict if
+    the on-disk experiment data may have changed between calls.
+    """
     psd_hypotheses = psd_hypotheses if psd_hypotheses is not None \
         else PSD_HYPOTHESES
     cmc_dvs = cmc_dvs if cmc_dvs is not None else CMC_DVS
@@ -115,16 +129,22 @@ def build_subject_frame(subject_ind: int, experiment_data_dir: Path,
         / f"subject_{subject_ind:02}"
     subject_feat_dir = Path(feature_data_dir) \
         / f"subject_{subject_ind:02}"
+    cache = input_cache if input_cache is not None else {}
 
-    log_df = data_integration.fetch_enriched_log_frame(subject_exp_dir,
-                                                       verbose=False)
-    serial_df = data_integration.fetch_enriched_serial_frame(
-        subject_exp_dir)
-    log_df.index = data_analysis.make_timezone_aware(log_df.index)
-    serial_df.index = data_analysis.make_timezone_aware(serial_df.index)
-    qtc_start, qtc_end = data_integration.get_qtc_measurement_start_end(
-        log_df, False)
-    sliced_serial_df = serial_df[qtc_start:qtc_end]
+    key = (subject_ind, 'frames')
+    if key not in cache:
+        log_df = data_integration.fetch_enriched_log_frame(
+            subject_exp_dir, verbose=False)
+        serial_df = data_integration.fetch_enriched_serial_frame(
+            subject_exp_dir)
+        log_df.index = data_analysis.make_timezone_aware(log_df.index)
+        serial_df.index = data_analysis.make_timezone_aware(
+            serial_df.index)
+        qtc_start, qtc_end = \
+            data_integration.get_qtc_measurement_start_end(log_df, False)
+        cache[key] = (log_df, serial_df, qtc_start, qtc_end,
+                      serial_df[qtc_start:qtc_end])
+    log_df, serial_df, qtc_start, qtc_end, sliced_serial_df = cache[key]
 
     seg_starts, seg_ends, seg_ids = derive_segment_spans(
         log_df, n_within_trial_segments,
@@ -150,11 +170,14 @@ def build_subject_frame(subject_ind: int, experiment_data_dir: Path,
         ch_idx = ([EEG_CHANNEL_IND_DICT[ch] for ch in channels]
                   if channels is not None else None)
         ch_op = np.nanmean if 'eeg' in modality else np.nanmax
-        try:
-            agg_art = features.fetch_band_aggregates(
-                subject_feat_dir, 'PSD', file_identifier=modality)
-        except (ValueError, FileNotFoundError):
-            agg_art = None
+        bkey = (subject_ind, 'bandagg', 'PSD', modality)
+        if bkey not in cache:
+            try:
+                cache[bkey] = features.fetch_band_aggregates(
+                    subject_feat_dir, 'PSD', file_identifier=modality)
+            except (ValueError, FileNotFoundError):
+                cache[bkey] = None
+        agg_art = cache[bkey]
         if agg_art is not None:
             n_times = agg_art.n_windows
             per_channel = agg_art.select(band, 'mean',
@@ -183,11 +206,14 @@ def build_subject_frame(subject_ind: int, experiment_data_dir: Path,
 
     # ── CMC DVs (reference :296-336) ──────────────────────────────────
     for muscle, operator, band in cmc_dvs:
-        try:
-            agg_art = features.fetch_band_aggregates(
-                subject_feat_dir, 'CMC', file_identifier=muscle)
-        except (ValueError, FileNotFoundError):
-            agg_art = None
+        bkey = (subject_ind, 'bandagg', 'CMC', muscle)
+        if bkey not in cache:
+            try:
+                cache[bkey] = features.fetch_band_aggregates(
+                    subject_feat_dir, 'CMC', file_identifier=muscle)
+            except (ValueError, FileNotFoundError):
+                cache[bkey] = None
+        agg_art = cache[bkey]
         if agg_art is not None:
             n_times = agg_art.n_windows
             # stored per-channel band MAX, then the DV's channel op —
@@ -214,7 +240,10 @@ def build_subject_frame(subject_ind: int, experiment_data_dir: Path,
             seg_starts, seg_ends, aggregated, timestamps)
 
     # ── serial + log segment aggregates (reference :338-563) ──────────
-    subject_level = data_integration.fetch_personal_data(subject_exp_dir)
+    if (subject_ind, 'personal') not in cache:
+        cache[(subject_ind, 'personal')] = \
+            data_integration.fetch_personal_data(subject_exp_dir)
+    subject_level = cache[(subject_ind, 'personal')]
     song_id = _segment_op(seg_starts, seg_ends, log_df['Song ID'],
                           operation='mode')
     silence_id = _segment_op(seg_starts, seg_ends, log_df['Silence ID'],
@@ -230,32 +259,41 @@ def build_subject_frame(subject_ind: int, experiment_data_dir: Path,
     for row, tid in enumerate(trial_id):
         if not pd.isna(tid):
             trial_rows.setdefault(int(tid), []).append(row)
-    for tid, rows in trial_rows.items():
+    def _trial_accuracy_axis(tid: int):
+        """(acc, acc_start, acc_ts, acc_max) or None — n_seg-invariant."""
         acc = data_integration.fetch_trial_accuracy(
             subject_exp_dir, log_df=log_df, trial_id=tid,
             error_handling='continue')
         if acc is None:
-            continue
+            return None
         try:
             full_start, full_end = data_integration.get_task_start_end(
                 log_df, trial_id=tid,
                 cut_off_sec_to_prevent_transients=0.0,
                 assumed_latency_sec=task_latency_assumption_sec)
         except ValueError:
-            continue
+            return None
         acc_start = full_start + pd.Timedelta(
             seconds=data_integration.TRIAL_ACCURACY_START_OFFSET_SEC)
         if acc_start >= full_end:
-            continue
+            return None
         t_rel = data_integration.build_accuracy_relative_time_axis(
             n_samples=len(acc),
             trial_dur_sec=(full_end - full_start).total_seconds(),
             start_offset_sec=
             data_integration.TRIAL_ACCURACY_START_OFFSET_SEC)
         if t_rel.size == 0:
-            continue
+            return None
         acc_ts = full_start + pd.to_timedelta(t_rel, unit='s')
-        acc_max = acc_ts.max()
+        return acc, acc_start, acc_ts, acc_ts.max()
+
+    for tid, rows in trial_rows.items():
+        akey = (subject_ind, 'acc', tid, task_latency_assumption_sec)
+        if akey not in cache:
+            cache[akey] = _trial_accuracy_axis(tid)
+        if cache[akey] is None:
+            continue
+        acc, acc_start, acc_ts, acc_max = cache[akey]
         valid, tss, tse = [], [], []
         for row in rows:
             if seg_ends[row] < acc_start or seg_starts[row] > acc_max:
@@ -276,15 +314,25 @@ def build_subject_frame(subject_ind: int, experiment_data_dir: Path,
     # lookup CSV is read once and features resolved once per unique
     # trial (segments of one trial share its song)
     if music_lookup_table_path is not None:
-        lookup_df = (music_lookup_table_path
-                     if isinstance(music_lookup_table_path, pd.DataFrame)
-                     else pd.read_csv(music_lookup_table_path))
-        per_trial = {
-            int(tid): data_integration.fetch_music_features(
-                log_df, trial_id=int(tid),
-                music_lookup_table_path=lookup_df,
-                features_to_return=MUSIC_FEATURES_TO_FETCH)
-            for tid in pd.unique(pd.Series(trial_id).dropna())}
+        if isinstance(music_lookup_table_path, pd.DataFrame):
+            lookup_df = music_lookup_table_path
+        else:
+            lkey = ('lookup', str(music_lookup_table_path))
+            if lkey not in cache:
+                cache[lkey] = pd.read_csv(music_lookup_table_path)
+            lookup_df = cache[lkey]
+
+        def _music(tid: int):
+            mkey = (subject_ind, 'music', tid)
+            if mkey not in cache:
+                cache[mkey] = data_integration.fetch_music_features(
+                    log_df, trial_id=tid,
+                    music_lookup_table_path=lookup_df,
+                    features_to_return=MUSIC_FEATURES_TO_FETCH)
+            return cache[mkey]
+
+        per_trial = {int(tid): _music(int(tid))
+                     for tid in pd.unique(pd.Series(trial_id).dropna())}
         music_tuples = [
             per_trial[int(tid)] if not pd.isna(tid)
             else [np.nan] * len(MUSIC_FEATURES_TO_FETCH)
@@ -355,7 +403,12 @@ def build_combined_statistics_frame(subject_ids: list[int],
                                     n_within_trial_segments: int,
                                     save: bool = True,
                                     **kwargs) -> pd.DataFrame:
-    """All subjects → centered/squared Combined Statistics frame."""
+    """All subjects → centered/squared Combined Statistics frame.
+
+    Accepts ``input_cache`` (see :func:`build_subject_frame`) — share
+    one dict across the four segment-resolution builds to skip the
+    repeated per-subject CSV reads and enrichment passes.
+    """
     frames = [build_subject_frame(s, experiment_data_dir,
                                   feature_data_dir,
                                   n_within_trial_segments, **kwargs)

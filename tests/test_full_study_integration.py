@@ -135,6 +135,28 @@ def study(tmp_path_factory):
 
 
 class TestFullStudy:
+    def test_input_cache_equivalence(self, study):
+        """A shared input_cache must not change a single frame value
+        across segment resolutions (the study workflow reuses one cache
+        for all four n_seg builds)."""
+        kw = dict(psd_time_window_size_sec=0.25,
+                  cmc_time_window_size_sec=0.5,
+                  n_onset_seconds_to_discard=0.2,
+                  task_latency_assumption_sec=0.1,
+                  task_end_transient_cutoff_sec=0.05, save=False)
+        cache: dict = {}
+        for n_seg in (1, 2):
+            plain = build_combined_statistics_frame(
+                list(range(N_SUBJECTS)), study["exp_data"],
+                study["feat_data"], n_seg, **kw)
+            cached = build_combined_statistics_frame(
+                list(range(N_SUBJECTS)), study["exp_data"],
+                study["feat_data"], n_seg, input_cache=cache, **kw)
+            pd.testing.assert_frame_equal(plain, cached)
+        # the cache was actually populated and reused
+        assert any(k[1] == 'frames' for k in cache
+                   if isinstance(k, tuple) and len(k) > 1)
+
     def test_combined_frame_schema(self, study):
         df = study["combined"]
         assert df["Subject ID"].nunique() == N_SUBJECTS

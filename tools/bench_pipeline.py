@@ -558,10 +558,13 @@ def main():
             import build_combined_statistics_frame
         t0 = time.perf_counter()
         frames = {}
-        for n_seg in (1, 2, 5, 10):
+        s4_cache: dict = {}       # per-subject invariants shared across
+        for n_seg in (1, 2, 5, 10):   # the four segment resolutions
             frames[n_seg] = build_combined_statistics_frame(
                 list(range(N_SUBJECTS)), exp_root, feat_root, n_seg,
-                music_lookup_table_path=lookup_path)
+                music_lookup_table_path=lookup_path,
+                input_cache=s4_cache)
+        del s4_cache
         stages["s4_stats_frames_sec"] = round(time.perf_counter() - t0, 2)
         detail["s4_frame_rows"] = {str(k): len(v)
                                    for k, v in frames.items()}
