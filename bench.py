@@ -719,7 +719,13 @@ def main():
     try:
         with open(os.path.join(here, "BENCH_NULL_POWER.json")) as fh:
             npow = json.load(fh)
-        extras["null_power_max_gap"] = npow.get(
+        # the production default is the AUTO engine (dispatches to the
+        # full-FFT null below the scale threshold); its measured power
+        # gap is the number that tracks regressions.  The rotation
+        # arm's standalone gap stays in the artifact.
+        extras["null_power_max_gap_auto"] = npow.get(
+            "max_power_gap_fullfft_minus_auto")
+        extras["null_power_max_gap_rotation_arm"] = npow.get(
             "max_power_gap_fullfft_minus_rotation")
         extras["null_power_artifact"] = "BENCH_NULL_POWER.json"
     except (OSError, json.JSONDecodeError):

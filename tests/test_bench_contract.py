@@ -50,7 +50,8 @@ def _representative_extras():
         "pipeline_five_stage_sec": 168.5,
         "pipeline_ica_speedup_vs_cpu": 2.7,
         "pipeline_artifact": "BENCH_PIPELINE.json",
-        "null_power_max_gap": 0.45,
+        "null_power_max_gap_auto": 0.0,
+        "null_power_max_gap_rotation_arm": 0.45,
         "null_power_artifact": "BENCH_NULL_POWER.json",
     }
 
