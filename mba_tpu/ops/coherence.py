@@ -222,6 +222,7 @@ def multitaper_msc(
         window_mask: np.ndarray | None = None,
         aggregate_emg_max: bool = False,
         window_chunk: int | None = None,
+        freq_range: tuple | None = None,
         transfer_dtype=None,
         input_transfer: Literal[None, "int16"] = None,
         verbose: bool = False,
@@ -234,6 +235,16 @@ def multitaper_msc(
     same window grid, taper policy, masking semantics (skipped windows are
     zeros on the full global grid) and output dictionary.  Additional
     ``aggregate_emg_max`` fuses the EMG max-pooling on-chip.
+
+    ``freq_range=(f_lo, f_hi)`` slices the frequency axis ON DEVICE
+    (inclusive bounds, same ``(freqs >= lo) & (freqs <= hi)`` rule as the
+    band aggregators) before anything crosses the link, and returns the
+    sliced ``freqs`` vector.  The kernel math is unchanged — every value
+    inside the range is bit-identical to the full-grid run — but the
+    download shrinks proportionally.  At study scale (fs=2048, 2 s
+    windows → 2049 bins up to 1024 Hz) capping at 250 Hz — the top edge
+    of every downstream band consumer (``AGGREGATE_BANDS['all'/'fast']``)
+    — cuts the link bytes ~4×.  ``None`` keeps the full rfft grid.
 
     ``transfer_dtype`` (e.g. ``jnp.float16``) casts the result arrays on
     device before download.  All arithmetic stays float32; coherence
@@ -306,6 +317,18 @@ def multitaper_msc(
     n_windows = len(starts)
     freqs = np.fft.rfftfreq(window_samples, d=1.0 / sampling_freq)
     n_freqs = len(freqs)
+    if freq_range is not None:
+        f_lo, f_hi = freq_range
+        # inclusive on both edges — matches the band aggregators' rule
+        f0 = int(np.searchsorted(freqs, f_lo, side="left"))
+        f1 = int(np.searchsorted(freqs, f_hi, side="right"))
+        if f1 <= f0:
+            raise ValueError(
+                f"freq_range {freq_range} selects no frequency bins "
+                f"(axis spans {freqs[0]:.3f}-{freqs[-1]:.3f} Hz)")
+    else:
+        f0, f1 = 0, n_freqs
+    n_freqs_out = f1 - f0
 
     if window_mask is not None:
         window_mask = np.asarray(window_mask, dtype=bool)
@@ -385,6 +408,13 @@ def multitaper_msc(
                 device_out = call(use_pallas=False)
         else:
             device_out = call(use_pallas=False)
+        if (f0, f1) != (0, n_freqs):
+            # device-side frequency slice: only the requested band
+            # crosses the link (values inside it are bit-identical to
+            # the full-grid run — same kernel, same lanes when the
+            # quantizer uses per-(freq, channel) lanes)
+            device_out = {key: val[:, f0:f1]
+                          for key, val in device_out.items()}
         if timings is not None:
             hard_sync(device_out)
             timings["compute_sec"] = round(time.perf_counter() - t0, 3)
@@ -417,8 +447,8 @@ def multitaper_msc(
             timings["download_sec"] = round(time.perf_counter() - t0, 3)
             timings["download_bytes"] = dl_bytes
     else:
-        shape_tail = (n_freqs, n_eeg) if aggregate_emg_max \
-            else (n_freqs, n_eeg, n_emg)
+        shape_tail = (n_freqs_out, n_eeg) if aggregate_emg_max \
+            else (n_freqs_out, n_eeg, n_emg)
         compact = {"coherence": np.zeros((0,) + shape_tail, np.float32)}
         if use_jackknife:
             compact["ci_lower"] = compact["coherence"].copy()
@@ -433,7 +463,7 @@ def multitaper_msc(
     result = {
         "coherence_raw": full["coherence"],
         "time_centers": time_centers,
-        "freqs": freqs,
+        "freqs": freqs[f0:f1],
         "metadata": {
             "K_tapers": int(K),
             "n_windows": int(n_windows),
@@ -444,6 +474,7 @@ def multitaper_msc(
             "apply_independence_threshold": apply_independence_threshold,
             "apply_bonferroni_correction": apply_bonferroni_correction,
             "significance_level": significance_level,
+            "freq_range": freq_range,
         },
     }
     if use_jackknife:

@@ -271,6 +271,7 @@ def compute_task_wise_aggregated_cmc(
         task_end_cutoff_sec: float = 2.0,
         timings_out: dict | None = None,
         transfer_dtype=None,
+        freq_range: tuple | None = None,
 ) -> tuple:
     """EMG-max-aggregated task-selective CMC (reference :898-1026).
 
@@ -282,6 +283,11 @@ def compute_task_wise_aggregated_cmc(
     ``transfer_dtype`` forwards to :func:`multitaper_msc` — ``np.int16``
     downloads the coherence/CI tensors as per-lane quantized integers
     (≤ ~8e-6 abs error on [0, 1] values) at half the link bytes.
+    ``freq_range=(lo, hi)`` forwards likewise: the coherence grid is
+    sliced to the band ON DEVICE before download (values inside the
+    range bit-identical; freqs vector sliced to match) — cap at 250 Hz
+    (the top edge of ``AGGREGATE_BANDS``) to cut the link bytes ~4× at
+    fs=2048 without changing any downstream band consumer.
     """
     if eeg_channel_subset:
         inds = [EEG_CHANNEL_IND_DICT[ch] for ch in eeg_channel_subset]
@@ -324,7 +330,7 @@ def compute_task_wise_aggregated_cmc(
         use_jackknife=use_jackknife, jackknife_alpha=jackknife_alpha,
         window_mask=window_mask, aggregate_emg_max=fuse, verbose=True,
         collect_timings=timings_out is not None,
-        transfer_dtype=transfer_dtype)
+        transfer_dtype=transfer_dtype, freq_range=freq_range)
     if timings_out is not None:
         timings_out.update(output.get('timings', {}))
         # expose the kept taper count: the Beta(K−2, K−2) independence

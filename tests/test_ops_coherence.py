@@ -381,3 +381,60 @@ class TestDeviceInputsAndTimings:
         assert tm["download_bytes"] > 0
         # off by default
         assert "timings" not in multitaper_msc(eeg, emg, 256)
+
+
+class TestFreqRange:
+    """Device-side frequency slicing of the download (freq_range)."""
+
+    def test_slice_matches_full_grid(self):
+        eeg, emg = _coupled_signals()
+        kw = dict(window_length_sec=1.0, use_jackknife=True,
+                  apply_independence_threshold=False)
+        full = multitaper_msc(eeg, emg, 256, **kw)
+        part = multitaper_msc(eeg, emg, 256, freq_range=(8.0, 40.0), **kw)
+        freqs = full["freqs"]
+        sel = (freqs >= 8.0) & (freqs <= 40.0)
+        np.testing.assert_array_equal(part["freqs"], freqs[sel])
+        for key in ("coherence_raw", "coherence_ci_lower",
+                    "coherence_ci_upper"):
+            np.testing.assert_array_equal(part[key], full[key][:, sel])
+        assert part["metadata"]["freq_range"] == (8.0, 40.0)
+
+    def test_slice_with_quantized_download_and_mask(self):
+        eeg, emg = _coupled_signals(seconds=8)
+        mask = np.zeros(15, dtype=bool)   # 8s @ 1s windows, 50% overlap
+        mask[3:9] = True
+        kw = dict(window_length_sec=1.0, use_jackknife=True,
+                  aggregate_emg_max=True, window_mask=mask,
+                  apply_independence_threshold=False,
+                  transfer_dtype=np.int16)
+        full = multitaper_msc(eeg, emg, 256, **kw)
+        part = multitaper_msc(eeg, emg, 256, freq_range=(0.0, 60.0), **kw)
+        sel = full["freqs"] <= 60.0
+        # quantization lanes may differ (coarse per-channel lanes span
+        # the freq axis), so compare at the int16 error bound
+        np.testing.assert_allclose(part["coherence_raw"],
+                                   full["coherence_raw"][:, sel],
+                                   atol=2e-4)
+        # masked-out windows stay exact zeros on the sliced grid too
+        assert np.all(part["coherence_raw"][~mask] == 0.0)
+
+    def test_empty_range_raises(self):
+        eeg, emg = _coupled_signals()
+        with np.testing.assert_raises(ValueError):
+            multitaper_msc(eeg, emg, 256, window_length_sec=1.0,
+                           freq_range=(500.0, 600.0))
+
+    def test_task_wise_wrapper_forwards(self):
+        from mba_tpu.pipeline import signal_features as sf
+        rng = np.random.default_rng(7)
+        n = 256 * 8
+        eeg = rng.standard_normal((n, 3)).astype(np.float32)
+        emg = rng.standard_normal((n, 2)).astype(np.float32)
+        out = sf.compute_task_wise_aggregated_cmc(
+            eeg, emg, 256, muscle_group="flexor",
+            window_size_sec=1.0, use_jackknife=False,
+            freq_range=(0.0, 100.0))
+        values, tc, fr = out
+        assert fr.max() <= 100.0 and fr.min() >= 0.0
+        assert values.shape[1] == len(fr)
