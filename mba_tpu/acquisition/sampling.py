@@ -308,18 +308,28 @@ def dummy_sampling_process(shared_dict, stop_event, save_dir,
             shared_dict["last_trigger"] = ("B", now)
             stop_trigger_event.clear()
 
-        fsr = (1.5 + 0.5 * np.sin(2 * np.pi * force_sine_hz * t)
-               + 0.02 * rng.standard_normal())
-        beat_phase = (t * 70 / 60) % 1.0
-        ecg = float(np.exp(-((beat_phase - 0.5) / 0.03) ** 2)
-                    + 0.02 * rng.standard_normal())
-        gsr = 2.0 + 0.1 * np.sin(2 * np.pi * 0.01 * t) \
-            + 0.01 * rng.standard_normal()
-        sample = {"fsr": float(fsr), "ecg": ecg, "gsr": float(gsr)}
+        # hardware streams at the line rate whether or not the host
+        # keeps up — emit every sample due by the wall clock (the real
+        # serial reader drains the arrival burst the same way), so a
+        # loaded 1-core host still yields fs samples/sec
+        due = max(int(t * sampling_rate_hz) + 1, n + 1)
+        sample = None
+        for i in range(n, due):
+            ti = i * period
+            fsr = (1.5 + 0.5 * np.sin(2 * np.pi * force_sine_hz * ti)
+                   + 0.02 * rng.standard_normal())
+            beat_phase = (ti * 70 / 60) % 1.0
+            ecg = float(np.exp(-((beat_phase - 0.5) / 0.03) ** 2)
+                        + 0.02 * rng.standard_normal())
+            gsr = 2.0 + 0.1 * np.sin(2 * np.pi * 0.01 * ti) \
+                + 0.01 * rng.standard_normal()
+            sample = {"fsr": float(fsr), "ecg": ecg, "gsr": float(gsr)}
+            rows.append({"Time": pd.Timestamp.now(), **sample})
+        n = due
+        # one shared-dict round-trip per burst (Manager IPC is the
+        # per-iteration cost that made the old one-sample loop lag)
         shared_dict.update(sample)
-        n += 1
         shared_dict["n_samples"] = n
-        rows.append({"Time": pd.Timestamp.now(), **sample})
         time.sleep(period)
     if rows:
         _tiered_saver(save_dir, rows, final=True)

@@ -443,7 +443,11 @@ def main():
                 eeg_channel_subset=CMC_EEG_CHANNEL_SUBSET,
                 window_size_sec=WINDOW_SEC, window_overlap_ratio=0.5,
                 use_jackknife=True, save_dir=subj0_feat,
-                timings_out=tm, transfer_dtype=np.int8)
+                timings_out=tm, transfer_dtype=np.int8,
+                # every downstream consumer (AGGREGATE_BANDS top edge,
+                # CBPA beta contrasts, gates) lives under 250 Hz — slice
+                # the 1024-Hz grid on device and download 1/4 the bytes
+                freq_range=(0.0, 250.0))
             K_tapers = tm.pop("K_tapers", K_tapers)
             for k, v in tm.items():
                 detail[f"s3_cmc_{muscle}_{k}"] = v
