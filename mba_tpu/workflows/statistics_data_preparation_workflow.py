@@ -61,12 +61,19 @@ def derive_segment_spans(log_df: pd.DataFrame,
                          n_within_trial_segments: int,
                          n_onset_seconds_to_discard: float = 6.5,
                          task_latency_assumption_sec: float = 3.25,
-                         task_end_transient_cutoff_sec: float = 2.0):
-    """Trial spans → equal-width segment spans (reference :179-247)."""
-    trial_spans = data_integration.get_all_task_start_ends(
-        log_df, 'dict',
-        assumed_latency_sec=task_latency_assumption_sec,
-        cut_off_sec_to_prevent_transients=task_end_transient_cutoff_sec)
+                         task_end_transient_cutoff_sec: float = 2.0,
+                         trial_spans: dict | None = None):
+    """Trial spans → equal-width segment spans (reference :179-247).
+
+    ``trial_spans`` — optional precomputed
+    :func:`data_integration.get_all_task_start_ends` dict (it is
+    n_seg-invariant, so multi-resolution callers compute it once).
+    """
+    if trial_spans is None:
+        trial_spans = data_integration.get_all_task_start_ends(
+            log_df, 'dict',
+            assumed_latency_sec=task_latency_assumption_sec,
+            cut_off_sec_to_prevent_transients=task_end_transient_cutoff_sec)
     seg_starts, seg_ends, seg_ids = [], [], []
     onset_delta = pd.Timedelta(seconds=n_onset_seconds_to_discard)
     for trial_id, (start, end) in trial_spans.items():
@@ -146,11 +153,20 @@ def build_subject_frame(subject_ind: int, experiment_data_dir: Path,
                       serial_df[qtc_start:qtc_end])
     log_df, serial_df, qtc_start, qtc_end, sliced_serial_df = cache[key]
 
+    tkey = (subject_ind, 'trial_spans', task_latency_assumption_sec,
+            task_end_transient_cutoff_sec)
+    if tkey not in cache:
+        cache[tkey] = data_integration.get_all_task_start_ends(
+            log_df, 'dict',
+            assumed_latency_sec=task_latency_assumption_sec,
+            cut_off_sec_to_prevent_transients=
+            task_end_transient_cutoff_sec)
     seg_starts, seg_ends, seg_ids = derive_segment_spans(
         log_df, n_within_trial_segments,
         n_onset_seconds_to_discard=n_onset_seconds_to_discard,
         task_latency_assumption_sec=task_latency_assumption_sec,
-        task_end_transient_cutoff_sec=task_end_transient_cutoff_sec)
+        task_end_transient_cutoff_sec=task_end_transient_cutoff_sec,
+        trial_spans=cache[tkey])
     if not seg_starts:
         raise RuntimeError(
             f"subject {subject_ind}: no valid segments — check the "
