@@ -70,6 +70,53 @@ class TestApplyWindowOperator:
                                     operation='mode')
         assert list(out) == ["a", "c"]
 
+    @pytest.mark.parametrize("op", ["mean", "median", "min", "max", "std"])
+    def test_vectorized_path_matches_naive_reference(self, op):
+        """The padded-cube fast path must equal a per-window boolean-mask
+        reference on NaN-laden, overlapping, partly-empty windows
+        (last-window-wins overlap semantics, both-inclusive bounds)."""
+        rng = np.random.default_rng(42)
+        n, n_feat = 300, 3
+        idx = pd.date_range("2024-01-01", periods=n, freq="100ms")
+        data = rng.standard_normal((n, n_feat))
+        data[rng.random((n, n_feat)) < 0.15] = np.nan      # scattered NaN
+        data[40:60] = np.nan                               # all-NaN stretch
+        # overlapping + disjoint + empty windows (starts not sorted)
+        starts = pd.DatetimeIndex([idx[0], idx[10], idx[5], idx[40],
+                                   idx[200], idx[250], idx[299]])
+        ends = pd.DatetimeIndex([idx[8], idx[30], idx[20], idx[59],
+                                 idx[230], idx[249], idx[299]])
+        out = apply_window_operator(starts, data, target_timestamps=idx,
+                                    window_timestamps_ends=ends,
+                                    operation=op).astype(float)
+        # naive reference with identical overlap semantics
+        assign = np.full(n, -1)
+        for w, (s, e) in enumerate(zip(starts, ends)):
+            assign[(idx >= s) & (idx <= e)] = w
+        fn = {"mean": np.nanmean, "median": np.nanmedian,
+              "min": np.nanmin, "max": np.nanmax, "std": np.nanstd}[op]
+        expected = np.full((len(starts), n_feat), np.nan)
+        with np.errstate(invalid="ignore"):
+            import warnings as _w
+            with _w.catch_warnings():
+                _w.simplefilter("ignore", RuntimeWarning)
+                for w in range(len(starts)):
+                    rows = data[assign == w]
+                    if len(rows):
+                        expected[w] = fn(rows, axis=0)
+        np.testing.assert_allclose(out, expected, rtol=1e-12,
+                                   equal_nan=True)
+
+    def test_vectorized_path_integer_input(self):
+        idx = pd.date_range("2024-01-01", periods=20, freq="1s")
+        data = np.arange(20, dtype=np.int64)
+        out = apply_window_operator(
+            pd.DatetimeIndex([idx[0], idx[10]]), data,
+            target_timestamps=idx,
+            window_timestamps_ends=pd.DatetimeIndex([idx[9], idx[19]]),
+            operation="median").astype(float)
+        np.testing.assert_allclose(out, [4.5, 14.5])
+
 
 class TestInterpolatePerWindow:
     def test_linear_full_range(self):
