@@ -286,6 +286,11 @@ def dummy_sampling_process(shared_dict, stop_event, save_dir,
     rng = np.random.default_rng(seed)
     rows: list[dict] = []
     t_start = time.monotonic()
+    # wall-clock anchor for row timestamps: burst back-fill stamps each
+    # row at anchor + i·period (its synthesis time), not Timestamp.now()
+    # — under host load now() would bunch a whole burst onto one instant,
+    # skewing time-indexed downstream alignment
+    wall_anchor = pd.Timestamp.now()
     last_redundant = t_start
     period = 1.0 / sampling_rate_hz
     n = 0
@@ -318,13 +323,19 @@ def dummy_sampling_process(shared_dict, stop_event, save_dir,
             ti = i * period
             fsr = (1.5 + 0.5 * np.sin(2 * np.pi * force_sine_hz * ti)
                    + 0.02 * rng.standard_normal())
-            beat_phase = (ti * 70 / 60) % 1.0
+            # ~70 bpm with real rate variability (±4 bpm respiratory-ish
+            # modulation): downstream HR/HRV features must see true
+            # physiologic variation, not the timestamp jitter the old
+            # now()-stamped rows leaked (the anchored stamps are exact)
+            beat_phase = (ti * 70 / 60
+                          + 0.35 * np.sin(2 * np.pi * 0.05 * ti)) % 1.0
             ecg = float(np.exp(-((beat_phase - 0.5) / 0.03) ** 2)
                         + 0.02 * rng.standard_normal())
             gsr = 2.0 + 0.1 * np.sin(2 * np.pi * 0.01 * ti) \
                 + 0.01 * rng.standard_normal()
             sample = {"fsr": float(fsr), "ecg": ecg, "gsr": float(gsr)}
-            rows.append({"Time": pd.Timestamp.now(), **sample})
+            rows.append({"Time": wall_anchor
+                         + pd.Timedelta(seconds=ti), **sample})
         n = due
         # one shared-dict round-trip per burst (Manager IPC is the
         # per-iteration cost that made the old one-sample loop lag)

@@ -28,10 +28,11 @@ import jax.numpy as jnp
 
 @functools.partial(jax.jit,
                    static_argnames=("n_comp", "block", "max_iter",
-                                    "ext_blocks"))
+                                    "ext_blocks", "batch_layout"))
 def _extended_infomax(key, x_white, n_comp, block, max_iter,
                       l_rate, ext_blocks=1, w_change_tol=1e-7,
-                      anneal_deg=60.0, anneal_step=0.9):
+                      anneal_deg=60.0, anneal_step=0.9,
+                      batch_layout="comb"):
     """Run extended Infomax on whitened data (T, n_comp) → W (n_comp²)."""
     n_samples = x_white.shape[0]
     n_blocks = n_samples // block
@@ -49,14 +50,21 @@ def _extended_infomax(key, x_white, n_comp, block, max_iter,
     # contiguous) block ORDER is rotated.  Convergence quality is
     # pinned by the planted-source recovery tests (tests/test_ops_ica
     # .py) and the study-scale sweep (BENCH_ICA.json).
+    # ``batch_layout='reference'`` opts back into the MNE-style
+    # per-epoch sample permutation (full gather per epoch) for
+    # exact-parity investigations against the upstream framework.
     x_comb = x_white[: n_blocks * block].reshape(
         (block, n_blocks, n_comp)).transpose(1, 0, 2)
 
     def epoch(state):
         key, w, signs, lrate, old_w, old_d_w, angle_delta, step, done = state
         key, sub = jax.random.split(key)
-        shift = jax.random.randint(sub, (), 0, n_blocks)
-        data = jnp.roll(x_comb, shift, axis=0)
+        if batch_layout == "reference":
+            perm = jax.random.permutation(sub, n_blocks * block)
+            data = x_white[perm].reshape((n_blocks, block, n_comp))
+        else:
+            shift = jax.random.randint(sub, (), 0, n_blocks)
+            data = jnp.roll(x_comb, shift, axis=0)
 
         def batch_step(w, xb):
             u = xb @ w                                     # (block, n)
@@ -154,16 +162,32 @@ class InfomaxICA:
     numerical rank (relative eigenvalue threshold 1e-10): whitening a
     null-space direction would amplify float noise into a fake
     component — the effective count is exposed as ``n_components_``.
+
+    Deliberate behavioral deviation from MNE's extended infomax
+    (reference preprocessing.py:654-682): the default mini-batch layout
+    is a fixed decimated comb whose block ORDER is re-rolled per epoch,
+    not MNE's per-epoch sample permutation — epoch trajectories and
+    ``n_iter_`` therefore differ from MNE on identical data/seed even
+    though planted-source recovery matches.  Pass
+    ``batch_layout='reference'`` to opt into the MNE-style per-epoch
+    sample permutation (full gather per epoch, ~3-10× slower epochs at
+    study scale) when investigating exact parity against the upstream
+    framework.
     """
 
     def __init__(self, n_components: int, max_iter: int = 500,
                  random_state: int = 42, l_rate: float | None = None,
-                 block: int | None = None):
+                 block: int | None = None,
+                 batch_layout: str = "comb"):
+        if batch_layout not in ("comb", "reference"):
+            raise ValueError("batch_layout must be 'comb' or "
+                             f"'reference', got {batch_layout!r}")
         self.n_components = n_components
         self.max_iter = max_iter
         self.random_state = random_state
         self.l_rate = l_rate
         self.block = block
+        self.batch_layout = batch_layout
         self.exclude: list[int] = []
 
     def fit(self, data: np.ndarray) -> "InfomaxICA":
@@ -211,7 +235,7 @@ class InfomaxICA:
         w, n_iter = _extended_infomax(
             jax.random.PRNGKey(self.random_state),
             x_white, n_comp, block, self.max_iter,
-            np.float32(l_rate))
+            np.float32(l_rate), batch_layout=self.batch_layout)
         self._w = np.asarray(w, np.float64)                # (n_comp, n_comp)
         self.n_iter_ = int(n_iter)
 

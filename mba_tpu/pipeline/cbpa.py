@@ -173,6 +173,17 @@ def _load_subject_data(cfg: CBPAConfig, subject_ind: int):
                 f"Band-aggregate artifact has {agg.n_channels} channels, "
                 f"expected {expected_ch} (modality={cfg.modality!r}, "
                 f"file_identifier={file_id!r}).")
+        if cfg.freq_band not in agg.band_names:
+            # fail at load time with the remedy, not deep inside
+            # _extract_band_power: a lean artifact saved at low fs can
+            # lack high bands, and no full-grid fallback exists here
+            # (fetch_stored_spectrograms already failed above)
+            raise ValueError(
+                f"[CBPA] Band-aggregate artifact for subject dir "
+                f"{subject_feat_dir} lacks band {cfg.freq_band!r} "
+                f"(stored: {agg.band_names}) and no full-grid "
+                f"spectrogram is on disk — re-run feature extraction "
+                f"with the full grid or with this band included.")
         spectrogram, times, freqs = agg, agg.time_centers, None
 
     times_arr = np.asarray(times, dtype=np.float64)

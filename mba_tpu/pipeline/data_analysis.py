@@ -29,9 +29,16 @@ from scipy.ndimage import uniform_filter1d
 
 def _normalize_to_datetimeindex(timestamps, name: str = "timestamps"
                                 ) -> pd.DatetimeIndex:
-    """Convert timestamp-like input to ``pd.DatetimeIndex`` (UTC parse)."""
+    """Convert timestamp-like input to ``pd.DatetimeIndex`` (UTC parse).
+
+    Always returns nanosecond resolution: downstream comparisons use
+    raw ``asi8`` integers, and pandas ≥ 2 infers DIFFERENT datetime64
+    units from different sources (string parses → [us], computed
+    ``Timestamp + Timedelta`` stamps → [ns]) — mixing units in asi8
+    space silently mis-assigns every sample.
+    """
     if isinstance(timestamps, pd.DatetimeIndex):
-        return timestamps
+        return timestamps.as_unit("ns")
     arr = np.asarray(timestamps)
     if np.issubdtype(arr.dtype, np.number):
         raise TypeError(
@@ -43,7 +50,7 @@ def _normalize_to_datetimeindex(timestamps, name: str = "timestamps"
     except Exception as e:
         raise TypeError(
             f"Could not interpret '{name}' as datetime: {e}") from e
-    return pd.DatetimeIndex(dt_idx)
+    return pd.DatetimeIndex(dt_idx).as_unit("ns")
 
 
 def _column_mode(col: np.ndarray):
@@ -201,14 +208,22 @@ def apply_window_operator(
         # spends ~0.5 ms per nanmedian on tiny slices (numpy routes
         # small inputs through masked arrays) — the stage-4 hot path
         # (serial medians over hundreds of segments) is ~40× faster
-        # through the cube. Values are bit-identical to the loop; the
-        # only difference is suppressed numpy RuntimeWarnings for
+        # through the cube. The reduction runs in the loop path's dtype
+        # (floating inputs keep their own dtype — the nan-reductions
+        # accumulate in the input dtype either way; integer inputs need
+        # a float cube for the NaN padding, and the loop's nan-calls on
+        # integers return float64 too), so the two paths agree even
+        # when the 50M-element guard flips path selection. The only
+        # remaining difference is suppressed numpy RuntimeWarnings for
         # empty/all-NaN windows (which the loop skips silently anyway).
-        gathered = flat[order].astype(np.float64, copy=False)
+        cube_dtype = (flat.dtype if np.issubdtype(flat.dtype, np.floating)
+                      else np.float64)
+        gathered = flat[order].astype(cube_dtype, copy=False)
         valid = sorted_wi >= 0
         rows = sorted_wi[valid]
         cols = np.arange(len(sorted_wi))[valid] - grp_lo[rows]
-        padded = np.full((n_windows, max_size, n_features), np.nan)
+        padded = np.full((n_windows, max_size, n_features), np.nan,
+                         dtype=cube_dtype)
         padded[rows, cols, :] = gathered[valid]
         with np.errstate(invalid="ignore"), warnings.catch_warnings():
             warnings.simplefilter("ignore", RuntimeWarning)

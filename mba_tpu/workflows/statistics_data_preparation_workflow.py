@@ -194,12 +194,20 @@ def build_subject_frame(subject_ind: int, experiment_data_dir: Path,
             except (ValueError, FileNotFoundError):
                 cache[bkey] = None
         agg_art = cache[bkey]
+        aggregated = None
         if agg_art is not None:
-            n_times = agg_art.n_windows
-            per_channel = agg_art.select(band, 'mean',
-                                         channel_indices=ch_idx)
-            aggregated = ch_op(per_channel, axis=1)
-        else:
+            # a lean artifact can lack the requested band (bands outside
+            # the stored frequency axis are dropped at save time) — fall
+            # back to the full-grid spectrogram path instead of failing
+            try:
+                per_channel = agg_art.select(band, 'mean',
+                                             channel_indices=ch_idx)
+            except ValueError:
+                per_channel = None
+            if per_channel is not None:
+                n_times = agg_art.n_windows
+                aggregated = ch_op(per_channel, axis=1)
+        if aggregated is None:
             spec, times, freqs = features.fetch_stored_spectrograms(
                 subject_feat_dir, modality='PSD', file_identifier=modality)
             n_times = len(times)
@@ -230,14 +238,20 @@ def build_subject_frame(subject_ind: int, experiment_data_dir: Path,
             except (ValueError, FileNotFoundError):
                 cache[bkey] = None
         agg_art = cache[bkey]
+        aggregated = None
         if agg_art is not None:
-            n_times = agg_art.n_windows
             # stored per-channel band MAX, then the DV's channel op —
-            # the same [('max', 1), (operator, 1)] order as below
-            per_channel = agg_art.select(band, 'max')
-            ch_op = np.nanmean if operator == 'mean' else np.nanmax
-            aggregated = ch_op(per_channel, axis=1)
-        else:
+            # the same [('max', 1), (operator, 1)] order as below;
+            # missing-band artifacts fall back to the full grid
+            try:
+                per_channel = agg_art.select(band, 'max')
+            except ValueError:
+                per_channel = None
+            if per_channel is not None:
+                n_times = agg_art.n_windows
+                ch_op = np.nanmean if operator == 'mean' else np.nanmax
+                aggregated = ch_op(per_channel, axis=1)
+        if aggregated is None:
             spec, times, freqs = features.fetch_stored_spectrograms(
                 subject_feat_dir, modality='CMC', file_identifier=muscle)
             n_times = len(times)

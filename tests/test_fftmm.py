@@ -102,3 +102,82 @@ class TestRfftProd:
         want = np.fft.rfft(x.astype(np.float64))
         scale = np.abs(want).max()
         np.testing.assert_allclose(got, want, atol=1e-5 * scale)
+
+
+class TestProductionDispatchEndToEnd:
+    """End-to-end CPU coverage of the TPU production dispatch (ADVICE r4).
+
+    On real TPU backends ``rfft_prod`` routes every spectral kernel
+    (coherence, PSD, surrogate, cohort null, gram coeffs) through the
+    MXU matmul FFT, so the CPU suite normally only exercises the native
+    fallback.  Coherence is a RATIO of spectra, which can amplify
+    per-bin spectral error — so force the dispatch guard open on CPU
+    (monkeypatch ``use_mxu_fft``) and assert the framework's 1e-5 bar
+    on the downstream coherence and PSD outputs, not just at FFT level.
+    """
+
+    @staticmethod
+    def _force_mxu(monkeypatch):
+        import jax
+        from mba_tpu.ops import fftmm
+        monkeypatch.setattr(fftmm, "use_mxu_fft", lambda: True)
+        # the spectral kernels are jitted closures over the module-level
+        # rfft_prod; drop any native-path traces so the patch is seen
+        jax.clear_caches()
+
+    @staticmethod
+    def _toy_signals(fs=2048.0, seconds=6.0, n_eeg=2, n_emg=2):
+        rng = np.random.default_rng(99)
+        n = int(fs * seconds)
+        t = np.arange(n) / fs
+        shared = np.sin(2 * np.pi * 21.0 * t)
+        eeg = (0.6 * shared[:, None]
+               + rng.standard_normal((n, n_eeg))).astype(np.float32)
+        emg = (0.6 * shared[:, None]
+               + rng.standard_normal((n, n_emg))).astype(np.float32)
+        return eeg, emg, fs
+
+    def test_multitaper_msc_parity(self, monkeypatch):
+        import jax
+        from mba_tpu.ops.coherence import multitaper_msc
+        eeg, emg, fs = self._toy_signals()
+        kw = dict(sampling_freq=fs, window_length_sec=2.0,  # n=4096: in
+                  use_jackknife=True,                       # MXU range
+                  apply_independence_threshold=False)
+        native = multitaper_msc(eeg, emg, **kw)
+        self._force_mxu(monkeypatch)
+        try:
+            forced = multitaper_msc(eeg, emg, **kw)
+        finally:
+            jax.clear_caches()  # don't leak MXU traces into other tests
+        np.testing.assert_allclose(
+            np.asarray(forced["coherence_raw"]),
+            np.asarray(native["coherence_raw"]), atol=1e-5,
+            err_msg="MXU production path diverges on coherence")
+        # the jackknife CI amplifies spectral round-off: the Fisher-z SE
+        # is a variance of leave-one-out DIFFERENCES of near-equal
+        # quantities, so the ~1e-7 per-bin FFT error can reach ~1e-4 in
+        # the bounds (measured max 1.2e-4 on this fixture) — still far
+        # below the CI's own statistical width
+        for key in ("coherence_ci_lower", "coherence_ci_upper"):
+            np.testing.assert_allclose(
+                np.asarray(forced[key]), np.asarray(native[key]),
+                atol=5e-4,
+                err_msg=f"MXU production path diverges on {key}")
+
+    def test_multitaper_psd_parity(self, monkeypatch):
+        import jax
+        from mba_tpu.ops.spectral import multitaper_psd
+        eeg, _, fs = self._toy_signals()
+        kw = dict(sampling_freq=fs, window_length_sec=1.0,  # n=2048
+                  axis=0, apply_log_scale=False)
+        native, _, _ = multitaper_psd(eeg, **kw)
+        self._force_mxu(monkeypatch)
+        try:
+            forced, _, _ = multitaper_psd(eeg, **kw)
+        finally:
+            jax.clear_caches()
+        scale = np.abs(native).max()
+        np.testing.assert_allclose(forced, native, atol=1e-5 * scale,
+                                   err_msg="MXU production path diverges "
+                                           "on PSD")

@@ -263,3 +263,36 @@ class TestCircularSmooth:
         assert sm.shape == x.shape
         assert sm[-1] > 0  # mass leaked across the wrap boundary
         np.testing.assert_allclose(sm.sum(), x.sum(), rtol=0.2)
+
+
+def test_window_operator_mixed_datetime64_units():
+    """pandas ≥ 2 infers different datetime64 units from different
+    sources (string parse → [us]; Timestamp+Timedelta arithmetic →
+    [ns]).  The window assignment compares raw asi8 integers, so mixed
+    units must be normalized or every sample lands in no window
+    (regression: r5 anchored sampler stamps made the serial index [ns]
+    while the log-derived segment spans stayed [us], silently NaN-ing
+    every serial median in the statistics frame)."""
+    import pandas as pd
+    anchor = pd.Timestamp("2026-01-01 12:00:00", tz="UTC")
+    # target: ns-unit index from timestamp arithmetic
+    target_times = pd.DatetimeIndex(
+        [anchor + pd.Timedelta(seconds=i * 0.1)
+         for i in range(100)]).as_unit("ns")
+    assert target_times.dtype == "datetime64[ns, UTC]"
+    values = np.arange(100, dtype=np.float64)
+    # windows: us-unit index from string parsing (the log path)
+    starts = pd.DatetimeIndex(pd.to_datetime(
+        ["2026-01-01 12:00:01", "2026-01-01 12:00:05"], utc=True))
+    ends = pd.DatetimeIndex(pd.to_datetime(
+        ["2026-01-01 12:00:03", "2026-01-01 12:00:08"], utc=True))
+    if hasattr(starts, "as_unit"):
+        starts, ends = starts.as_unit("us"), ends.as_unit("us")
+    from mba_tpu.pipeline import data_analysis
+    out = data_analysis.apply_window_operator(
+        window_timestamps=starts, window_timestamps_ends=ends,
+        target_array=values, target_timestamps=target_times,
+        operation="mean", axis=0)
+    np.testing.assert_allclose(out.astype(float),
+                               [np.mean(values[10:31]),
+                                np.mean(values[50:81])])

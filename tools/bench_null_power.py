@@ -25,11 +25,6 @@ Round-4 additions (VERDICT r3 #5/#10):
     marginally calibrated, so the combination is valid under arbitrary
     dependence.  Measured to decide adopt-or-reject for the
     near-threshold power gap.
-  - per-cell ``auto_choice``: which engine ``cohort_msc_null``'s
-    method='auto' cost model would run at that cell (it picks the
-    exact full-FFT engine at every sweep scale, so the production
-    'auto' power equals ``power_fullfft`` — the gap a *user* of the
-    auto entry point sees is 0 at these scales by construction).
   - ``--h0 R`` re-measures the H0 (coupling=0) cells only, at R
     replicates per engine (default 500 — binomial 1σ at 0.05 is
     0.0097, so a true 2×-nominal defect sits >5σ out), and merges the
@@ -37,12 +32,37 @@ Round-4 additions (VERDICT r3 #5/#10):
     whether r3's W=128 rates of 0.10-0.117 at 60 replicates (2.4σ)
     were noise or a defect.
 
+Round-5 additions (VERDICT r4 #1 — measure the production rotation
+engine where it actually runs):
+
+  - large-W cells W ∈ {512, 1320} (single-pair, J=6; 1320 = the study's
+    per-subject task-window count), at reduced replicate/surrogate
+    budgets (the full-FFT arm is O(n_surrogates) cohort passes).
+  - per-cell ``auto_choice`` is now evaluated at the PRODUCTION
+    surrogate count (``cohort_msc_null``'s default n_surrogates=10_000)
+    on this host's flop budget — the question a user of the auto entry
+    point actually faces.  At 10k surrogates the cost model keeps the
+    exact FFT engine for W ≤ 32 and dispatches W ≥ 128 to rotation, so
+    the sweep now measures the rotation engine at cells where it is
+    genuinely selected.  (Power itself is still measured at the sweep's
+    reduced surrogate count — the rejection decision at α=0.05 is
+    insensitive to the null's tail resolution beyond ~100 draws.)
+  - a ``detection_limit`` block: per W, the interpolated coupling at
+    which each engine reaches 80 % power, and their ratio — the honest
+    sensitivity cost of the rotation engine in COUPLING units (the
+    rejection-rate gap at a fixed near-threshold coupling looks large
+    because the power curve is steep; what a user loses is a ~10-15 %
+    higher detectable-coupling floor).
+  - ``--extend`` runs only W values absent from the committed grid and
+    merges them (the small-W cells are expensive to re-measure and the
+    engines are unchanged).
+
 Writes ``BENCH_NULL_POWER.json``; ``tests/test_null_power_artifact.py``
 asserts the committed bounds (H0 calibration of both engines, and the
 measured power gap staying within the documented envelope).
 
 Run: ``JAX_PLATFORMS=cpu python tools/bench_null_power.py [--h0 500]
-[--h0-only]`` (~25 min sweep + ~20 min H0 mode).
+[--h0-only] [--extend]`` (~25 min small-W sweep; ~2 h with large W).
 """
 from __future__ import annotations
 
