@@ -309,9 +309,107 @@ def prepare_log_frame(log_frame: pd.DataFrame,
 # ========================================================================
 # trial-id algebra & time spans
 # ========================================================================
+_SPAN_TABLE_ATTR = "_mba_task_span_table"
+
+
+def _span_table(df: pd.DataFrame) -> dict:
+    """Per-log-frame lookup tables for trial/song/silence spans.
+
+    The statistics-frame builder resolves spans, ids and song metadata
+    once per (trial × DV × resolution); each resolution used to pay 2-3
+    full boolean row-masks of the log frame PER CALL
+    (``get_task_start_end`` — profiled as the top stage-4 cost,
+    tools/profile_s4.py).  One groupby pass replaces them all; the
+    result is memoized on ``df.attrs`` with a shape + column-content
+    fingerprint token, so a fresh or curated frame recomputes (pandas
+    propagates attrs through copies).  An in-place mutation that
+    changes none of the fingerprinted counts would still serve a stale
+    table — consumers treat cached frames read-only (the input_cache
+    contract).
+    """
+    def _col(name):
+        if name in df.columns:
+            return pd.Series(df[name].to_numpy(), copy=False)
+        return pd.Series(np.full(len(df), np.nan))
+
+    song, silence = _col('Song ID'), _col('Silence ID')
+    trial, task = _col('Trial ID'), _col('Task Frequency')
+    if 'Trial Exclusion Bool' in df.columns:
+        excl = pd.Series(df['Trial Exclusion Bool'].fillna(False)
+                         .to_numpy(dtype=bool))
+    else:
+        excl = pd.Series(np.zeros(len(df), dtype=bool))
+
+    # token = shape + a fingerprint of every column the table digests:
+    # pandas propagates .attrs through .copy()/derivations, so an
+    # annotated copy (e.g. annotate_trial marking an exclusion) would
+    # otherwise serve the PARENT's table — shape alone cannot tell them
+    # apart (caught by test_span_table_fast_path_matches_mask_path)
+    token = (len(df), df.columns.size, int(excl.sum()),
+             int(task.notna().sum()), int(song.notna().sum()),
+             int(silence.notna().sum()), int(trial.notna().sum()))
+    cached = df.attrs.get(_SPAN_TABLE_ATTR)
+    if isinstance(cached, dict) and cached.get("token") == token:
+        return cached
+    times = pd.Series(_times_of(df)).reset_index(drop=True)
+
+    tbl: dict = {"token": token}
+
+    def _spans(mask, ids):
+        if not mask.any():
+            return {}
+        agg = (pd.DataFrame({"id": ids[mask].astype(np.int64).values,
+                             "t": times[mask].reset_index(drop=True),
+                             "e": excl[mask].values})
+               .groupby("id").agg(tmin=("t", "min"), tmax=("t", "max"),
+                                  e=("e", "any")))
+        return {int(i): (tmin, tmax, bool(e))
+                for i, tmin, tmax, e in zip(agg.index, agg["tmin"],
+                                            agg["tmax"], agg["e"])}
+
+    # song spans use only active-task rows (reference :604-714 filters
+    # Task Frequency before the min/max); silence spans use all rows
+    tbl["song_task"] = _spans(song.notna() & task.notna(), song)
+    tbl["silence"] = _spans(silence.notna(), silence)
+
+    mt = trial.notna()
+    tbl["trial_map"] = {}
+    if mt.any():
+        first = (pd.DataFrame({"tr": trial[mt].astype(np.int64).values,
+                               "song": song[mt].values,
+                               "sil": silence[mt].values})
+                 .groupby("tr").first())
+        tbl["trial_map"] = {
+            int(i): (int(s) if pd.notna(s) else None,
+                     int(q) if pd.notna(q) else None)
+            for i, s, q in zip(first.index, first["song"], first["sil"])}
+
+    tbl["song_info"] = {}
+    if 'Song Title' in df.columns and 'Song Artist' in df.columns:
+        msong = song.notna()
+        if msong.any():
+            info = (pd.DataFrame({"id": song[msong].astype(np.int64)
+                                  .values,
+                                  "title": _col('Song Title')[msong]
+                                  .values,
+                                  "artist": _col('Song Artist')[msong]
+                                  .values})
+                    .groupby("id").first())
+            tbl["song_info"] = {int(i): (t, a)
+                                for i, t, a in zip(info.index,
+                                                   info["title"],
+                                                   info["artist"])}
+    df.attrs[_SPAN_TABLE_ATTR] = tbl
+    return tbl
+
+
 def turn_trial_id_into_song_or_silence_id(log_df: pd.DataFrame,
                                           trial_id: int):
     """(song_id, silence_id) for a trial — one of them is None."""
+    if not pd.isna(trial_id):
+        pair = _span_table(log_df)["trial_map"].get(int(trial_id))
+        if pair is not None:
+            return pair
     subset = log_df.loc[log_df['Trial ID'] == trial_id]
     song_id = subset.iloc[0]['Song ID']
     silence_id = subset.iloc[0]['Silence ID']
@@ -390,6 +488,26 @@ def get_task_start_end(df: pd.DataFrame, song_id: int | None = None,
     if trial_id is not None:
         song_id, silence_id = turn_trial_id_into_song_or_silence_id(
             df, trial_id)
+
+    if song_title is None and not verbose:
+        # memoized span-table fast path (identical raise semantics to
+        # the mask path below; verbose/song_title stay on the slow path
+        # for the per-row INFO prints and title-ambiguity checks)
+        tbl = _span_table(df)
+        span = (tbl["song_task"].get(int(song_id))
+                if song_id is not None
+                else tbl["silence"].get(int(silence_id)))
+        if span is None:
+            raise ValueError("Specific task not found!")
+        start, end, excluded = span
+        if excluded:
+            raise ValueError("Trial marked for exclusion!")
+        if assumed_latency_sec > 0:
+            start += pd.Timedelta(seconds=assumed_latency_sec)
+            end += pd.Timedelta(seconds=assumed_latency_sec)
+        if cut_off_sec_to_prevent_transients > 0:
+            end -= pd.Timedelta(seconds=cut_off_sec_to_prevent_transients)
+        return start, end
 
     if song_id is not None or song_title is not None:
         if song_id is not None:
@@ -1160,13 +1278,11 @@ def fetch_music_features(log_df: pd.DataFrame,
     if song_id is None:
         return [np.nan] * len(features_to_return)
 
-    subset = log_df.loc[log_df['Song ID'] == song_id,
-                        ['Song Title', 'Song Artist']]
-    if len(subset) == 0:
+    info = _span_table(log_df)["song_info"].get(int(song_id))
+    if info is None:
         raise ValueError(
             f"Couldn't find song_id {song_id} in log_frame table...")
-    title = subset['Song Title'].iloc[0]
-    artist = subset['Song Artist'].iloc[0]
+    title, artist = info
     row = lookup.loc[(lookup['Artist'] == artist)
                      & (lookup['Title'] == title), :]
     if len(row) == 0:

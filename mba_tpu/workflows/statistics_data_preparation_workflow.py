@@ -172,6 +172,12 @@ def build_subject_frame(subject_ind: int, experiment_data_dir: Path,
             f"subject {subject_ind}: no valid segments — check the "
             f"latency/cutoff/onset-discard timing configuration against "
             f"the trial durations.")
+    # normalize the segment spans ONCE: every _segment_op below would
+    # otherwise re-run pd.to_datetime over the same Timestamp lists
+    # (~25 calls per subject per resolution — visible in the stage-4
+    # profile); element access and comparisons are unchanged
+    seg_starts = pd.DatetimeIndex(seg_starts).as_unit("ns")
+    seg_ends = pd.DatetimeIndex(seg_ends).as_unit("ns")
     frame = pd.DataFrame(index=range(len(seg_starts)))
 
     # ── PSD hypotheses (reference :252-294) ───────────────────────────
@@ -274,12 +280,18 @@ def build_subject_frame(subject_ind: int, experiment_data_dir: Path,
         cache[(subject_ind, 'personal')] = \
             data_integration.fetch_personal_data(subject_exp_dir)
     subject_level = cache[(subject_ind, 'personal')]
-    song_id = _segment_op(seg_starts, seg_ends, log_df['Song ID'],
-                          operation='mode')
-    silence_id = _segment_op(seg_starts, seg_ends, log_df['Silence ID'],
-                             operation='mode')
-    trial_id = _segment_op(seg_starts, seg_ends, log_df['Trial ID'],
-                           operation='mode')
+    # all eight per-segment log modes share windows and timestamps —
+    # one 2-D call assigns the ~50k log rows to segments once instead
+    # of eight times (stage-4 profile, tools/profile_s4.py)
+    mode_cols = ['Song ID', 'Silence ID', 'Trial ID', 'Task Frequency',
+                 'Emotional State', 'Perceived Category', 'Liking',
+                 'Familiarity']
+    log_modes = data_analysis.apply_window_operator(
+        window_timestamps=seg_starts, window_timestamps_ends=seg_ends,
+        target_array=log_df[mode_cols].to_numpy(dtype=object),
+        target_timestamps=log_df.index, operation='mode', axis=0)
+    song_id, silence_id, trial_id = (log_modes[:, 0], log_modes[:, 1],
+                                     log_modes[:, 2])
     is_music = [not pd.isna(s) and pd.isna(q)
                 for s, q in zip(song_id, silence_id)]
 
@@ -371,45 +383,35 @@ def build_subject_frame(subject_ind: int, experiment_data_dir: Path,
         music_tuples = [[np.nan] * len(MUSIC_FEATURES_TO_FETCH)
                         for _ in trial_id]
 
-    perceived = _segment_op(seg_starts, seg_ends,
-                            log_df['Perceived Category'],
-                            operation='mode')
+    perceived = log_modes[:, 5]
     category_or_silence = pd.Series(perceived).fillna('Silence')
 
+    # the five serial medians share timestamps and windows — one 2-D
+    # window-operator call replaces five single-column passes (each
+    # repeats the argsort/searchsorted assignment of the ~85k-sample
+    # serial trace; stage-4 profile, tools/profile_s4.py)
+    serial_cols = ['Task-wise Scaled Force', 'Unscaled Force [% MVC]',
+                   'bpm', 'hrv', 'gsr']
+    serial_med = data_analysis.apply_window_operator(
+        window_timestamps=seg_starts, window_timestamps_ends=seg_ends,
+        target_array=sliced_serial_df[serial_cols].to_numpy(dtype=float),
+        target_timestamps=sliced_serial_df.index,
+        operation='median', axis=0)
     columns = [
         ('Subject ID', [subject_ind] * len(seg_starts)),
         ('Trial ID', trial_id),
         ('Music Listening', is_music),
-        ('Median Scaled Force [0-1]',
-         _segment_op(seg_starts, seg_ends,
-                     sliced_serial_df['Task-wise Scaled Force'],
-                     operation='median')),
-        ('Median Unscaled Force [% MVC]',
-         _segment_op(seg_starts, seg_ends,
-                     sliced_serial_df['Unscaled Force [% MVC]'],
-                     operation='median')),
-        ('Task Frequency',
-         _segment_op(seg_starts, seg_ends, log_df['Task Frequency'],
-                     operation='mode')),
-        ('Emotional_State',
-         _segment_op(seg_starts, seg_ends, log_df['Emotional State'],
-                     operation='mode')),
-        ('Median_Heart_Rate',
-         _segment_op(seg_starts, seg_ends, sliced_serial_df['bpm'],
-                     operation='median')),
-        ('Median_HRV',
-         _segment_op(seg_starts, seg_ends, sliced_serial_df['hrv'],
-                     operation='median')),
-        ('GSR', _segment_op(seg_starts, seg_ends,
-                            sliced_serial_df['gsr'],
-                            operation='median')),
+        ('Median Scaled Force [0-1]', serial_med[:, 0]),
+        ('Median Unscaled Force [% MVC]', serial_med[:, 1]),
+        ('Task Frequency', log_modes[:, 3]),
+        ('Emotional_State', log_modes[:, 4]),
+        ('Median_Heart_Rate', serial_med[:, 2]),
+        ('Median_HRV', serial_med[:, 3]),
+        ('GSR', serial_med[:, 4]),
         ('Perceived Category', perceived),
         ('Category or Silence', category_or_silence),
-        ('Liking', _segment_op(seg_starts, seg_ends, log_df['Liking'],
-                               operation='mode')),
-        ('Familiarity [0-7]',
-         _segment_op(seg_starts, seg_ends, log_df['Familiarity'],
-                     operation='mode')),
+        ('Liking', log_modes[:, 6]),
+        ('Familiarity [0-7]', log_modes[:, 7]),
         (list(MUSIC_FEATURES_TO_FETCH), music_tuples),
         ('Segment ID', seg_ids),
         ('RMS_Accuracy', accuracy),

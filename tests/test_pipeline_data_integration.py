@@ -118,6 +118,35 @@ class TestTimeSpans:
         assert start == t0 + pd.Timedelta(seconds=8 + 3.25)
         assert end == t0 + pd.Timedelta(seconds=34 + 3.25 - 2.0)
 
+    def test_span_table_fast_path_matches_mask_path(self, enriched):
+        """The memoized span-table fast path (r5, _span_table) must be
+        indistinguishable from the verbose mask path — spans, trial-id
+        algebra, and every raise."""
+        for kwargs in (dict(song_id=0), dict(trial_id=0),
+                       dict(silence_id=0), dict(trial_id=2),
+                       dict(song_id=0, assumed_latency_sec=0.0,
+                            cut_off_sec_to_prevent_transients=0.5)):
+            fast = di.get_task_start_end(enriched, **kwargs)
+            slow = di.get_task_start_end(enriched, verbose=True,
+                                         **kwargs)
+            assert fast == slow, kwargs
+        # missing ids raise the same ValueError on both paths
+        for kwargs in (dict(song_id=99), dict(silence_id=99)):
+            with pytest.raises(ValueError, match="not found"):
+                di.get_task_start_end(enriched, **kwargs)
+            with pytest.raises(ValueError, match="not found"):
+                di.get_task_start_end(enriched, verbose=True, **kwargs)
+        # a mutated COPY must get a fresh table (pandas propagates
+        # .attrs through copies — the token fingerprints the digested
+        # columns, so the exclusion flip invalidates the parent table)
+        marked = di.annotate_trial(enriched, "bad", exclude=True,
+                                   song_id=0)
+        with pytest.raises(ValueError, match="exclusion"):
+            di.get_task_start_end(marked, song_id=0)
+        # and the original keeps serving its own (no stale cross-talk)
+        assert di.get_task_start_end(enriched, song_id=0) == \
+            di.get_task_start_end(enriched, song_id=0, verbose=True)
+
     def test_all_task_start_ends_skips_invalid(self, enriched):
         spans = di.get_all_task_start_ends(enriched, output_type='dict')
         assert set(spans.keys()) == {0, 2}   # skipped song 1 absent

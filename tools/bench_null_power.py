@@ -80,13 +80,34 @@ FS = 256.0
 WINDOW_SEC = 0.5
 J = 6
 # shared-drive gain g plants true coherence ≈ g⁴/(g²+1)²: 0 → 0.25.
-# the 0.35-0.7 range straddles each W's detection threshold, where any
-# power difference between the engines would surface
-COUPLINGS = (0.0, 0.35, 0.45, 0.55, 0.7, 1.0)
-WINDOW_COUNTS = (8, 32, 128)
-R_REPLICATES = 60
+# per-W coupling grids straddle that W's detection threshold, where any
+# power difference between the engines would surface.  Large-W cells
+# (512 and the study's 1320 task windows) run fewer replicates at a
+# reduced surrogate count and skip the pw/2off diagnostic arms — the
+# full-FFT arm is O(n_surrogates) cohort passes (~12 s/replicate at
+# W=1320 on this host).
+SWEEP = {
+    8:    dict(couplings=(0.0, 0.35, 0.45, 0.55, 0.7, 1.0),
+               replicates=60, n_surr=200,
+               arms=("rot", "pw", "2off", "fft")),
+    32:   dict(couplings=(0.0, 0.35, 0.45, 0.55, 0.7, 1.0),
+               replicates=60, n_surr=200,
+               arms=("rot", "pw", "2off", "fft")),
+    128:  dict(couplings=(0.0, 0.35, 0.45, 0.55, 0.7, 1.0),
+               replicates=60, n_surr=200,
+               arms=("rot", "pw", "2off", "fft")),
+    512:  dict(couplings=(0.0, 0.25, 0.3, 0.35, 0.4, 0.5),
+               replicates=40, n_surr=100, arms=("rot", "fft")),
+    1320: dict(couplings=(0.0, 0.2, 0.25, 0.3, 0.35, 0.45),
+               replicates=40, n_surr=100, arms=("rot", "fft")),
+}
+WINDOW_COUNTS = tuple(SWEEP)
+R_REPLICATES = 60            # small-W default (kept in config block)
 N_SURR = 200
 ALPHA = 0.05
+# the production default of cohort_msc_null — auto_choice is evaluated
+# here, not at the sweep's reduced measurement budget
+PRODUCTION_N_SURR = 10_000
 
 
 def log(*a):
@@ -104,15 +125,15 @@ def _make_cohort(rng, n, coupling):
     return eeg, emg
 
 
-def _cell_arms(eeg, emg, starts_np, jnp, engines, seed):
+def _cell_arms(eeg, emg, starts_np, jnp, engines, seed, n_surr=N_SURR):
     """One replicate: p_fwe for each requested engine arm."""
     from mba_tpu.ops.cohort_null import (cohort_msc_rotation_null,
                                          cohort_msc_fft_null)
     band = (8.0, 40.0)
     starts_all = np.tile(starts_np[None], (J, 1))
-    kw = dict(sampling_freq=FS, n_surrogates=N_SURR,
+    kw = dict(sampling_freq=FS, n_surrogates=n_surr,
               window_length_sec=WINDOW_SEC, band=band,
-              surrogate_chunk=N_SURR, seed=seed,
+              surrogate_chunk=n_surr, seed=seed,
               compute_dtype=jnp.float32)
     out = {}
     if "rot" in engines:
@@ -135,41 +156,50 @@ def _cell_arms(eeg, emg, starts_np, jnp, engines, seed):
         out["2off"] = min(1.0, 2.0 * min(p_e, p_o))
     if "fft" in engines:
         out["fft"] = cohort_msc_fft_null(
-            eeg, emg, FS, n_surrogates=N_SURR,
+            eeg, emg, FS, n_surrogates=n_surr,
             window_length_sec=WINDOW_SEC, band=band,
-            surrogate_chunk=50, seed=seed,
+            surrogate_chunk=min(50, n_surr), seed=seed,
             window_starts=starts_all)["p_fwe"]
     return out
 
 
 def _auto_choice(W, n):
-    """Which engine cohort_msc_null's method='auto' runs at this cell
-    (CPU budget — the sweep platform)."""
+    """Which engine cohort_msc_null's method='auto' cost model runs for
+    this data at the PRODUCTION surrogate count (its 10k default) on
+    this host's CPU flop budget — the question a user of the auto entry
+    point actually faces.  At 10k surrogates the exact FFT engine stays
+    affordable for W <= 32; W >= 128 dispatches to rotation."""
     from mba_tpu.ops.cohort_null import _fft_null_flops
     window_samples = int(WINDOW_SEC * FS)
     nF = int((40.0 - 8.0) * WINDOW_SEC)
-    est = _fft_null_flops(J, n, 1, 1, W, 5, window_samples, nF, N_SURR)
+    est = _fft_null_flops(J, n, 1, 1, W, 5, window_samples, nF,
+                          PRODUCTION_N_SURR)
     return "fft" if est <= 2e11 else "rotation"
 
 
-def run_h0(R, jnp):
-    """H0-only cells at R replicates per engine (VERDICT r3 #5)."""
+def run_h0(R, jnp, window_counts=(8, 32, 128)):
+    """H0-only cells at R replicates per engine (VERDICT r3 #5).
+
+    Large-W cells are excluded by default: at R=500 the full-FFT arm
+    alone would cost ~35 h at W=1320; their H0 calibration is covered
+    at the sweep replicate count in ``h0_rejection_rates``.
+    """
     from mba_tpu.ops.framing import window_grid
     window_samples = int(WINDOW_SEC * FS)
     hop = window_samples // 2
     h0 = {}
     t_start = time.perf_counter()
-    for W in WINDOW_COUNTS:
+    for W in window_counts:
         n = hop * (W - 1) + window_samples
         starts_np, _ = window_grid(n, window_samples, hop, FS,
                                    convention="cmc")
         starts_np = starts_np[:W]
-        rej = {k: 0 for k in ("rot", "pw", "2off", "fft")}
+        rej = {k: 0 for k in SWEEP[W]["arms"]}
         for r in range(R):
             rng = np.random.default_rng(777_000 + 1000 * W + r)
             eeg, emg = _make_cohort(rng, n, 0.0)
             ps = _cell_arms(eeg, emg, starts_np, jnp, rej.keys(),
-                            seed=r)
+                            seed=r, n_surr=SWEEP[W]["n_surr"])
             for k, p in ps.items():
                 rej[k] += p < ALPHA
         h0[f"W{W}"] = {k: round(v / R, 4) for k, v in rej.items()}
@@ -180,7 +210,7 @@ def run_h0(R, jnp):
     return {"replicates": R, "alpha": ALPHA, "rates": h0}
 
 
-def run_sweep(jnp):
+def run_sweep(jnp, window_counts=WINDOW_COUNTS):
     from mba_tpu.ops.framing import window_grid
 
     window_samples = int(WINDOW_SEC * FS)
@@ -188,41 +218,90 @@ def run_sweep(jnp):
 
     grid = {}
     t_start = time.perf_counter()
-    for W in WINDOW_COUNTS:
+    for W in window_counts:
+        spec = SWEEP[W]
+        arms, R, n_surr = spec["arms"], spec["replicates"], spec["n_surr"]
         n = hop * (W - 1) + window_samples
         starts_np, _ = window_grid(n, window_samples, hop, FS,
                                    convention="cmc")
         starts_np = starts_np[:W]
-        for c in COUPLINGS:
-            rej = {k: 0 for k in ("rot", "pw", "2off", "fft")}
-            for r in range(R_REPLICATES):
+        for c in spec["couplings"]:
+            rej = {k: 0 for k in arms}
+            for r in range(R):
                 rng = np.random.default_rng(1000 * W + int(c * 100) + r)
                 eeg, emg = _make_cohort(rng, n, c)
                 ps = _cell_arms(eeg, emg, starts_np, jnp, rej.keys(),
-                                seed=r)
+                                seed=r, n_surr=n_surr)
                 for k, p in ps.items():
                     rej[k] += p < ALPHA
             key = f"W{W}_c{c:g}"
             grid[key] = {
                 "windows": W, "coupling": c,
-                "power_rotation": round(rej["rot"] / R_REPLICATES, 3),
-                "power_rotation_pw": round(rej["pw"] / R_REPLICATES, 3),
-                "power_rotation_2off": round(rej["2off"] / R_REPLICATES,
-                                             3),
-                "power_fullfft": round(rej["fft"] / R_REPLICATES, 3),
+                "replicates": R, "n_surrogates": n_surr,
+                "power_rotation": round(rej["rot"] / R, 3),
+                "power_fullfft": round(rej["fft"] / R, 3),
                 "auto_choice": _auto_choice(W, n),
             }
+            if "pw" in arms:
+                grid[key]["power_rotation_pw"] = round(rej["pw"] / R, 3)
+            if "2off" in arms:
+                grid[key]["power_rotation_2off"] = round(rej["2off"] / R,
+                                                         3)
             g = grid[key]
             g["power_auto"] = (g["power_fullfft"]
                                if g["auto_choice"] == "fft"
                                else g["power_rotation"])
             log(f"[{key}] rotation {g['power_rotation']:.2f} "
-                f"/ per-window {g['power_rotation_pw']:.2f} "
-                f"/ 2off {g['power_rotation_2off']:.2f} "
                 f"vs full-FFT {g['power_fullfft']:.2f} "
                 f"(auto={g['auto_choice']}) "
                 f"({time.perf_counter() - t_start:.0f}s)")
     return grid
+
+
+def _interp_c80(cells, power_key, target=0.8):
+    """Coupling at which ``power_key`` first reaches ``target``
+    (linear interpolation on the cell grid; None if never reached)."""
+    pts = sorted((g["coupling"], g[power_key]) for g in cells)
+    for (c0, p0), (c1, p1) in zip(pts, pts[1:]):
+        if p0 < target <= p1:
+            if p1 == p0:
+                return c1
+            return round(c0 + (target - p0) * (c1 - c0) / (p1 - p0), 4)
+    if pts and pts[0][1] >= target:
+        return pts[0][0]
+    return None
+
+
+def detection_limits(grid):
+    """Per-W 80 %-power coupling for each engine + their ratio — the
+    rotation engine's sensitivity cost in COUPLING units (what a study
+    actually loses: the minimum reliably-detectable coupling rises by
+    the ratio, NOT by the headline rejection-rate gap, which is large
+    only because the power curve is steep near threshold)."""
+    out = {}
+    for W in sorted({g["windows"] for g in grid.values()}):
+        cells = [g for g in grid.values() if g["windows"] == W]
+        c_rot = _interp_c80(cells, "power_rotation")
+        c_fft = _interp_c80(cells, "power_fullfft")
+        entry = {"c80_rotation": c_rot, "c80_fullfft": c_fft}
+        if c_rot and c_fft:
+            entry["coupling_cost_ratio"] = round(c_rot / c_fft, 3)
+        out[f"W{W}"] = entry
+    ratios = [v.get("coupling_cost_ratio") for v in out.values()
+              if v.get("coupling_cost_ratio")]
+    return {
+        "per_window_count": out,
+        "max_coupling_cost_ratio": max(ratios) if ratios else None,
+        "statement": (
+            "The production rotation engine's calibrated disjoint "
+            "inference raises the 80%-power detectable-coupling floor "
+            "by at most "
+            f"{(max(ratios) - 1) * 100:.0f}% vs the exact full-FFT "
+            "engine at every measured window count (8..1320); the "
+            "near-threshold rejection-rate gap does not vanish with W "
+            "but the coupling-units cost stays bounded."
+            if ratios else "insufficient grid coverage for c80"),
+    }
 
 
 def main():
@@ -254,7 +333,32 @@ def main():
         return
 
     t_start = time.perf_counter()
-    grid = run_sweep(jnp)
+    if "--extend" in args:
+        # run only window counts absent from the committed grid, merge
+        # (the engines are unchanged; small-W cells are expensive to
+        # re-measure).  Prior cells' auto_choice is re-evaluated under
+        # the current (production-10k) semantics.
+        old_grid = dict(prior.get("grid", {}))
+        have = {g["windows"] for g in old_grid.values()}
+        todo = tuple(W for W in WINDOW_COUNTS if W not in have)
+        if not todo:
+            raise SystemExit("--extend: nothing to add (grid already "
+                             f"covers {sorted(have)})")
+        log(f"[extend] running W={todo}, keeping {sorted(have)}")
+        grid = dict(old_grid)
+        window_samples = int(WINDOW_SEC * FS)
+        hop = window_samples // 2
+        for key, g in grid.items():
+            n = hop * (g["windows"] - 1) + window_samples
+            g["auto_choice"] = _auto_choice(g["windows"], n)
+            g["power_auto"] = (g["power_fullfft"]
+                               if g["auto_choice"] == "fft"
+                               else g["power_rotation"])
+            g.setdefault("replicates", R_REPLICATES)
+            g.setdefault("n_surrogates", N_SURR)
+        grid.update(run_sweep(jnp, window_counts=todo))
+    else:
+        grid = run_sweep(jnp)
 
     # summary: worst power gap where the full-FFT engine has real power
     gaps = [g["power_fullfft"] - g["power_rotation"]
@@ -264,29 +368,44 @@ def main():
                  for g in grid.values() if g["coupling"] > 0
                  and g["power_fullfft"] >= 0.2]
     gaps_2off = [g["power_rotation_2off"] - g["power_rotation"]
-                 for g in grid.values() if g["coupling"] > 0]
+                 for g in grid.values() if g["coupling"] > 0
+                 and "power_rotation_2off" in g]
     h0_rates = {k: (g["power_rotation"], g["power_fullfft"],
-                    g["power_rotation_pw"], g["power_rotation_2off"])
+                    g.get("power_rotation_pw"),
+                    g.get("power_rotation_2off"))
                 for k, g in grid.items() if g["coupling"] == 0}
+    auto_rot_cells = sum(g["auto_choice"] == "rotation"
+                         for g in grid.values())
     result = {
         "description": "rejection rate (alpha=0.05, FWE max statistic) "
                        "of the taper-rotation cohort null (shared, "
                        "per-window and two-offset-Bonferroni modes) vs "
                        "a classic full-FFT phase-randomisation cohort "
                        "null, over planted coupling x window count; "
-                       "power_auto = the engine cohort_msc_null "
-                       "method='auto' runs at that cell",
+                       "auto_choice = the engine cohort_msc_null "
+                       "method='auto' runs for this data at its "
+                       "PRODUCTION default n_surrogates=10k on a CPU "
+                       "flop budget (power itself is measured at the "
+                       "cell's reduced n_surrogates)",
         "config": {"J": J, "fs": FS, "window_sec": WINDOW_SEC,
                    "band": (8.0, 40.0), "n_surrogates": N_SURR,
-                   "replicates": R_REPLICATES, "alpha": ALPHA},
+                   "replicates": R_REPLICATES, "alpha": ALPHA,
+                   "auto_choice_n_surrogates": PRODUCTION_N_SURR,
+                   "per_window_count_overrides": {
+                       str(W): {k: v for k, v in spec.items()
+                                if k != "couplings"}
+                       for W, spec in SWEEP.items()
+                       if spec["replicates"] != R_REPLICATES}},
         "grid": grid,
         "max_power_gap_fullfft_minus_rotation": round(max(gaps), 3)
         if gaps else 0.0,
         "mean_power_gap": round(float(np.mean(gaps)), 3) if gaps else 0.0,
         "max_power_gap_fullfft_minus_auto": round(max(auto_gaps), 3)
         if auto_gaps else 0.0,
+        "n_cells_auto_rotation": int(auto_rot_cells),
         "max_power_gain_2off_over_rotation": round(max(gaps_2off), 3)
         if gaps_2off else 0.0,
+        "detection_limit": detection_limits(grid),
         "h0_rejection_rates": h0_rates,
         "measured_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ",
                                       time.gmtime()),
