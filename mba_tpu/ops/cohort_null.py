@@ -54,10 +54,12 @@ making the test *conservative* in the alternative — detection of real
 coupling still stands out by construction since the observed statistic
 contains the coherent sum the rotations destroy.  The measured operating
 characteristic (BENCH_NULL_POWER.json, tools/bench_null_power.py) puts
-the power cost vs the classic full-FFT engine at a mean gap ≈ 0.10 over
-a coupling × window-count sweep, concentrated in a narrow near-threshold
-coupling band (max 0.43 at W = 32, coupling 0.45); away from the
-threshold both engines agree (gap ≤ 0.08).  Most of that band-edge cost
+the power cost vs the classic full-FFT engine at a mean gap ≈ 0.11 over
+a coupling × window-count sweep reaching study scale (W up to 1320),
+concentrated in a narrow near-threshold coupling band (max 0.45 at
+W = 32); in coupling units the cost is bounded: the 80 %-power
+detectable-coupling floor sits ≤ 11 % above the full-FFT engine's at
+every measured W (detection_limit block).  Most of that band-edge cost
 is the calibrated ``'disjoint'`` inference using only every other window
 of a 50 %-overlap grid (W/2 windows vs the full-FFT engine's W), the
 rest the no-shrinkage conservativeness above.  Where that band matters
@@ -1434,9 +1436,21 @@ def cohort_msc_null(eeg_cohort, emg_cohort, sampling_freq: float,
     ``method='auto'`` therefore runs the exact fft engine whenever its
     estimated device cost fits ``fft_flop_budget`` and falls back to
     the rotation engine at scales where O(n_surrogates) cohort passes
-    are unaffordable (where its disjoint subset is large and the power
-    gap vanishes).  The default budget is ~2e13 flops on TPU (a few
+    are unaffordable.  The default budget is ~2e13 flops on TPU (a few
     seconds of chip time) and ~2e11 on CPU hosts.
+
+    Measured sensitivity cost of that fallback (BENCH_NULL_POWER.json
+    ``detection_limit``, sweep W ∈ {8 … 1320} with the rotation arm at
+    every cell): the near-threshold rejection-rate gap does NOT vanish
+    with W — the coupling grid point where the gap peaks shifts down as
+    W grows but its height stays ~0.25–0.45 — yet in coupling units the
+    cost is bounded and roughly constant: the rotation engine's
+    80 %-power detectable-coupling floor sits at most 11 % above the
+    exact fft engine's at every measured window count (cost ratio
+    1.08–1.11, W = 8/32/128/512/1320).  That 11 % is the documented
+    detection limit of study-scale runs; it is attached to the result
+    as ``metadata['sensitivity_note']`` whenever the rotation engine is
+    selected so downstream reports carry it.
 
     Considered and rejected for closing the gap inside the rotation
     engine: two-offset disjoint inference (Bonferroni over the even-
@@ -1503,6 +1517,13 @@ def cohort_msc_null(eeg_cohort, emg_cohort, sampling_freq: float,
     else:
         res = cohort_msc_rotation_null(eeg, emg, sampling_freq,
                                        n_surrogates=n_surrogates, **kw)
+        res["metadata"]["sensitivity_note"] = (
+            "rotation engine (calibrated disjoint inference): measured "
+            "80%-power detectable-coupling floor at most 11% above the "
+            "exact full-FFT engine at every window count in 8..1320 "
+            "(BENCH_NULL_POWER.json detection_limit, cost ratio "
+            "1.08-1.11); near-threshold rejection-rate gap up to 0.45 "
+            "does not vanish with W.")
     res["metadata"]["engine_choice"] = {
         "method_requested": method, "method_run": choice,
         "estimated_fft_flops": est,

@@ -185,6 +185,11 @@ def test_cohort_msc_null_auto_dispatch():
     res_rot = cohort_msc_null(eeg, emg, fft_flop_budget=1.0, **kw)
     assert res_rot["metadata"]["engine_choice"]["method_run"] == "rotation"
     assert res_rot["metadata"]["method"] == "taper_rotation"
+    # the measured detection limit travels with every rotation result
+    # (BENCH_NULL_POWER.json detection_limit; VERDICT r4 #1)
+    assert "detectable-coupling floor" in \
+        res_rot["metadata"]["sensitivity_note"]
+    assert "sensitivity_note" not in res["metadata"]
 
     # forced engines and kwarg forwarding/dropping
     res_f = cohort_msc_null(eeg, emg, method="fft",

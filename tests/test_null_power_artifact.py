@@ -33,10 +33,17 @@ def test_h0_calibration_all_engines(artifact):
     import math
     alpha = artifact["config"]["alpha"]
     R = artifact["config"]["replicates"]
-    bound = alpha + 3.0 * math.sqrt(alpha * (1 - alpha) / R)
+    overrides = artifact["config"].get("per_window_count_overrides", {})
     assert artifact["h0_rejection_rates"], "no H0 cells in the grid"
     for key, rates in artifact["h0_rejection_rates"].items():
+        # study-scale window counts run fewer replicates (cost); the
+        # binomial envelope widens accordingly
+        wcount = key.split("_")[0].lstrip("W")
+        r_cell = overrides.get(wcount, {}).get("replicates", R)
+        bound = alpha + 3.0 * math.sqrt(alpha * (1 - alpha) / r_cell)
         for rate in rates:      # (shared, full-FFT, per-window[, 2off])
+            if rate is None:    # arm not measured at this scale
+                continue
             assert rate <= bound, (key, rates, bound)
 
 
@@ -117,14 +124,29 @@ def test_grid_covers_study_relevant_regimes(artifact):
     assert artifact["config"]["replicates"] >= 50
 
 
-def test_auto_engine_closes_gap(artifact):
-    """The production auto engine (cohort_msc_null) must not leave more
-    than 0.25 power on the table vs the exact full-FFT engine anywhere
-    in the sweep (VERDICT r3 #10; it picks fft at every sweep scale,
-    so this is ~0 by construction, pinned against policy regressions)."""
-    if "max_power_gap_fullfft_minus_auto" not in artifact:
-        pytest.skip("artifact predates the auto-engine sweep")
-    assert artifact["max_power_gap_fullfft_minus_auto"] <= 0.25
+def test_auto_engine_measured_where_it_runs(artifact):
+    """The sweep must contain cells where the PRODUCTION auto engine
+    actually selects the rotation engine (VERDICT r4 #1 — the r4 sweep
+    dispatched to fft at every cell, making the auto-gap headline
+    vacuous), and at those cells the documented sensitivity cost must
+    hold: the 80%-power detectable-coupling floor at most 15% above
+    the exact full-FFT engine's at every measured window count."""
+    if "n_cells_auto_rotation" not in artifact:
+        pytest.skip("artifact predates the study-scale auto sweep")
+    assert artifact["n_cells_auto_rotation"] >= 1, \
+        "no sweep cell exercises the engine that runs at study scale"
+    dl = artifact["detection_limit"]
+    assert dl["max_coupling_cost_ratio"] <= 1.15, dl
+    # every per-W cell individually inside the documented limit
+    for wkey, cell in dl["per_window_count"].items():
+        assert cell["coupling_cost_ratio"] <= 1.15, (wkey, cell)
+    # the statement travels with the artifact (and, via
+    # metadata['sensitivity_note'], with every rotation-engine result)
+    assert "detectable-coupling floor" in dl["statement"]
+    # rejection-rate sanity: auto never worse than the rotation arm's
+    # documented worst case plus MC slack
+    assert artifact["max_power_gap_fullfft_minus_auto"] <= \
+        artifact["max_power_gap_fullfft_minus_rotation"] + 0.05
 
 
 def test_two_offset_documented_decision(artifact):
