@@ -319,30 +319,39 @@ def fit_both_models(df: pd.DataFrame, response_var: str,
                     show_diagnostic_plots: bool = False,
                     reference_categories: dict | None = None,
                     moderation_pairs: list | None = None,
-                    verbose: bool = True) -> dict:
-    """Fit OLS + LME (reference :874-945)."""
+                    verbose: bool = True,
+                    models: tuple = ("OLS", "LME")) -> dict:
+    """Fit OLS + LME (reference :874-945).
+
+    ``models`` restricts which engines run — the LOSO influence path
+    consumes only the OLS rows (``_compute_influence`` merges on
+    Model_Type == 'OLS'), so its n_subjects refit loop requests
+    ``('OLS',)`` and skips the iterative REML fit entirely.
+    """
     if verbose:
         print("\n" + "=" * 80)
         print(f"HYPOTHESIS: {hypothesis_name} | DV: {response_var} | "
               f"LEVEL: {comparison_level_name}")
         print("=" * 80)
-    return {
-        "OLS": fit_linear_regression_model(
+    out = {}
+    if "OLS" in models:
+        out["OLS"] = fit_linear_regression_model(
             df=df, response_var=response_var,
             condition_vars=condition_vars,
             explanatory_vars=explanatory_vars,
             show_diagnostic_plots=show_diagnostic_plots,
             moderation_pairs=moderation_pairs,
-            reference_categories=reference_categories, verbose=verbose),
-        "LME": fit_mixed_effects_model(
+            reference_categories=reference_categories, verbose=verbose)
+    if "LME" in models:
+        out["LME"] = fit_mixed_effects_model(
             df=df, response_var=response_var,
             condition_vars=condition_vars,
             explanatory_vars=explanatory_vars,
             grouping_var="Subject ID",
             show_diagnostic_plots=show_diagnostic_plots,
             moderation_pairs=moderation_pairs,
-            reference_categories=reference_categories, verbose=verbose),
-    }
+            reference_categories=reference_categories, verbose=verbose)
+    return out
 
 
 # ──────────────────────────────────────────────────────────────────────────
@@ -487,7 +496,8 @@ def run_model_levels(base_df: pd.DataFrame, level_definitions: list[dict],
                      diagnostics_list: list,
                      levels_to_include: list[int] | None = None,
                      show_diagnostic_plots: bool = False,
-                     verbose: bool = True) -> None:
+                     verbose: bool = True,
+                     models: tuple = ("OLS", "LME")) -> None:
     """Fit both models for each comparison level and accumulate results."""
     if levels_to_include is None:
         levels_to_include = list(range(len(level_definitions)))
@@ -510,7 +520,8 @@ def run_model_levels(base_df: pd.DataFrame, level_definitions: list[dict],
             comparison_level_name=comparison_level_name,
             hypothesis_name=hypothesis_name,
             n_windows_per_trial=n_windows_per_trial,
-            show_diagnostic_plots=show_diagnostic_plots, verbose=verbose)
+            show_diagnostic_plots=show_diagnostic_plots, verbose=verbose,
+            models=models)
         store_model_results(results, hypothesis_name, response_var,
                             comparison_level_name, all_results_list,
                             diagnostics_list)
@@ -632,8 +643,23 @@ def _run_loso(all_subject_df: pd.DataFrame, dep_var: str, comp_lvl: int,
               n_segments: int,
               fetch_level_definitions: Callable[[bool], list[dict]],
               run_model_levels_fn: Callable | None = None) -> pd.DataFrame:
-    """Leave-one-subject-out OLS/LME refits for one config."""
+    """Leave-one-subject-out refits for one config.
+
+    Only the OLS rows feed the influence computation downstream
+    (``_compute_influence`` merges on Model_Type == 'OLS'), so the
+    n_subjects refit loop requests OLS only — the per-drop iterative
+    REML fits the loop used to pay were never consumed.  A custom
+    ``run_model_levels_fn`` without a ``models`` parameter (test
+    doubles) still runs whatever it runs.
+    """
     run_fn = run_model_levels_fn or run_model_levels
+    extra = {}
+    try:
+        import inspect
+        if "models" in inspect.signature(run_fn).parameters:
+            extra["models"] = ("OLS",)
+    except (TypeError, ValueError):
+        pass
     frames = []
     for subject_id in all_subject_df["Subject ID"].dropna().unique():
         remaining = all_subject_df.loc[
@@ -646,7 +672,7 @@ def _run_loso(all_subject_df: pd.DataFrame, dep_var: str, comp_lvl: int,
                hypothesis_name=f"LOSO {dep_var} drop_{int(subject_id):02}",
                n_windows_per_trial=n_segments,
                all_results_list=temp_results,
-               diagnostics_list=temp_diag, verbose=False)
+               diagnostics_list=temp_diag, verbose=False, **extra)
         frame = pd.DataFrame(temp_results)
         frame["Dropped Subject ID"] = subject_id
         frames.append(frame)

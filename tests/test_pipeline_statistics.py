@@ -154,6 +154,31 @@ class TestInfluence:
         assert out["CooksD_Threshold"].iloc[0] == pytest.approx(4 / 6)
         assert len(list(tmp_path.glob("*Influence Analysis Combined.csv")))
 
+    def test_loso_ols_only_matches_full_refit(self):
+        """The LOSO loop now requests OLS-only refits (the influence
+        computation consumes only Model_Type == 'OLS' rows); influence
+        inputs must be identical to a both-models refit (VERDICT r4
+        #7 — the per-drop REML fits were pure waste)."""
+        df = make_stats_frame(n_subj=5, n_trials=8)
+
+        def both_models(*a, **kw):        # legacy double: no `models`
+            kw.pop("models", None)
+            return sm.run_model_levels(*a, **kw)
+
+        fast = sm._run_loso(df, "CMC_Flexor_max_beta", 0, 1,
+                            lambda multi: LEVEL_DEFS)
+        slow = sm._run_loso(df, "CMC_Flexor_max_beta", 0, 1,
+                            lambda multi: LEVEL_DEFS,
+                            run_model_levels_fn=both_models)
+        assert set(fast["Model_Type"]) == {"OLS"}
+        assert {"OLS", "LME"} <= set(slow["Model_Type"])
+        cols = ["Parameter", "Coefficient", "SE",
+                "Dropped Subject ID", "Comparison_Level"]
+        slow_ols = (slow[slow["Model_Type"] == "OLS"][cols]
+                    .reset_index(drop=True))
+        pd.testing.assert_frame_equal(
+            fast[cols].reset_index(drop=True), slow_ols)
+
 
 class TestPower:
     def test_power_analysis_end_to_end(self, tmp_path):
