@@ -70,6 +70,32 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+class CompileMeter:
+    """Accumulates jax compile-path seconds (trace + lowering + backend
+    compile) via the monitoring listener, so every stage wall can be
+    split into ``*_compile_sec`` vs steady-state work (VERDICT r4 #3 —
+    the r4 run hid ~6.6 s of compilation inside stage 3's wall).  With
+    the persistent compilation cache (mba_tpu/_config.py) warm, the
+    backend_compile term collapses and the split shows it.
+    """
+
+    def __init__(self):
+        import jax
+        self.total = 0.0
+        self._mark = 0.0
+        jax.monitoring.register_event_duration_secs_listener(self._cb)
+
+    def _cb(self, event, dur, **kw):
+        if event.startswith("/jax/core/compile/"):
+            self.total += dur
+
+    def mark(self):
+        self._mark = self.total
+
+    def since_mark(self) -> float:
+        return round(self.total - self._mark, 2)
+
+
 # ── stage 0: synthesis ────────────────────────────────────────────────
 def synth_subject(plan: S.TrialPlan, seed=0):
     """EEG with planted blink/ECG/line/muscle artifacts + beta drive
@@ -252,7 +278,13 @@ def main():
     denominators = {}
     gates = {}
     platform = jax.devices()[0].platform
+    meter = CompileMeter()
     hard_sync(jax.device_put(np.float32(1.0)))   # warm readback channel
+
+    def compile_split(key: str):
+        """Record compile seconds accumulated since the last mark."""
+        detail[f"{key}_compile_sec"] = meter.since_mark()
+        meter.mark()
 
     # ── stage 0: synthesis (signals + 12-subject artifact tree) ───────
     log("[synth] generating study at true scale …")
@@ -293,6 +325,7 @@ def main():
             f"{stages['s1_otb4_import_sec']}s")
 
         # ── stage 2: preprocessing (full cascade incl. ICA) ───────────
+        meter.mark()
         t0 = time.perf_counter()
         eeg_d, up_bytes, up_err = upload_quantized(eeg, np.int16)
         hard_sync(eeg_d)
@@ -327,10 +360,12 @@ def main():
         stages["s2_eeg_spatial_sec"] = round(t_spatial, 2)
         stages["s2_eeg_ica_n_iter"] = int(ica.n_iter_)
         stages["s2_eeg_ica_n_excluded"] = int(n_excluded)
+        compile_split("s2_eeg")
         log(f"[s2] EEG cascade: filter {t_filter:.1f}s, ref+amp "
             f"{t_refamp:.1f}s, ICA fit {t_ica:.1f}s ({ica.n_iter_} iters,"
             f" {n_excluded} ICs excluded), apply {t_ica_apply:.1f}s, "
-            f"spatial {t_spatial:.1f}s")
+            f"spatial {t_spatial:.1f}s "
+            f"(compile {detail['s2_eeg_compile_sec']}s)")
 
         # CPU denominators needing `eeg`/`ica`
         slice_n = int(30 * FS)
@@ -364,6 +399,7 @@ def main():
         prep.free_intermediate_stages()
         del prep, ica
 
+        meter.mark()
         t0 = time.perf_counter()
         emg1_d, nb1 = upload_counts(emg1_counts, emg1_vpc[None, :])
         emg1_clean = BiosignalPreprocessor(
@@ -382,7 +418,9 @@ def main():
         hard_sync(emg1_clean, emg2_clean)
         detail["s2_emg_upload_bytes"] = int(nb1 + nb2)
         stages["s2_emg_cascade_sec"] = round(time.perf_counter() - t0, 2)
-        log(f"[s2] EMG cascades: {stages['s2_emg_cascade_sec']}s")
+        compile_split("s2_emg")
+        log(f"[s2] EMG cascades: {stages['s2_emg_cascade_sec']}s "
+            f"(compile {detail['s2_emg_compile_sec']}s)")
         del emg1, emg2, emg1_counts, emg2_counts
 
         # ── stage 3: feature extraction ───────────────────────────────
@@ -400,6 +438,7 @@ def main():
         # on-device (~2 s/modality).
         psd_aggs = {}
         t_psd_comp = t_psd_down = psd_mb = 0.0
+        meter.mark()
         t_stage0 = time.perf_counter()
         for modality, arr in (("eeg", eeg_clean),
                               ("emg_1_flexor", emg1_clean),
@@ -427,6 +466,7 @@ def main():
         detail["s3_psd_compute"] = round(t_psd_comp, 2)
         detail["s3_psd_download"] = round(t_psd_down, 2)
         detail["s3_psd_download_mb"] = round(psd_mb, 1)
+        compile_split("s3_psd")
 
         # 3b. task-wise CMC through the REAL log-driven mask path
         t0 = time.perf_counter()
@@ -457,6 +497,7 @@ def main():
             cmc_aggs[muscle.capitalize()] = (payload, tc_c, names, edges)
         t_cmc = time.perf_counter() - t0
         stages["s3_cmc_sec"] = round(t_cmc, 2)
+        compile_split("s3_cmc")
 
         # 3c. enriched serial frame through the REAL path (subject 0)
         t0 = time.perf_counter()
@@ -560,6 +601,7 @@ def main():
         # ── stage 4: Combined Statistics frames (4 resolutions × 12) ──
         from mba_tpu.workflows.statistics_data_preparation_workflow \
             import build_combined_statistics_frame
+        meter.mark()
         t0 = time.perf_counter()
         frames = {}
         s4_cache: dict = {}       # per-subject invariants shared across
@@ -570,6 +612,7 @@ def main():
                 input_cache=s4_cache)
         del s4_cache
         stages["s4_stats_frames_sec"] = round(time.perf_counter() - t0, 2)
+        compile_split("s4")
         detail["s4_frame_rows"] = {str(k): len(v)
                                    for k, v in frames.items()}
         log(f"[s4] combined frames 1/2/5/10seg × {N_SUBJECTS} subjects "
@@ -595,6 +638,7 @@ def main():
             make_forest_mosaics=True)
         t_omni = time.perf_counter() - t0
         stages["s5_omnibus_sec"] = round(t_omni, 2)
+        compile_split("s5_omnibus")
         detail["s5_omnibus_n_hypotheses"] = len(RQA_HYPOTHESES)
         detail["s5_omnibus_n_rows"] = len(combined)
         detail["s5_omnibus_n_models"] = int(
@@ -649,6 +693,7 @@ def main():
         cbpa_results, _cbpa_summary = run_batch(cbpa_cfgs)
         t_cbpa = time.perf_counter() - t0
         stages["s5_cbpa_sec"] = round(t_cbpa, 2)
+        compile_split("s5_cbpa")
 
         # GATE G4 + CPU denominator on the CMC contrast
         res = cbpa_results[0]
@@ -685,6 +730,7 @@ def main():
             [power_cfg], combined, feat_root, out_dir,
             fetch_level_definitions)
         stages["s5_loso_power_sec"] = round(time.perf_counter() - t0, 2)
+        compile_split("s5_loso_power")
 
         t0 = time.perf_counter()
         report = build_report(out_dir, out_dir, work / "reports",
@@ -699,6 +745,9 @@ def main():
         total = sum(v for k, v in stages.items()
                     if k.endswith("_sec") and not k.startswith("synth"))
         stages["total_pipeline_sec"] = round(total, 2)
+        detail["total_compile_sec"] = round(meter.total, 2)
+        detail["compilation_cache_dir"] = str(
+            jax.config.jax_compilation_cache_dir)
         cpu_total = sum(denominators[k] for k in (
             "s2_filter_cpu_sec_extrapolated",
             "s2_ica_cpu_sec_extrapolated",
