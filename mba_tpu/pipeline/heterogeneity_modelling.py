@@ -79,6 +79,8 @@ def _run_mi_single(feature_df: pd.DataFrame, target_col: str,
                    target_type: str, dep_var: str, level: str,
                    cond_var: str, attr_cols: list[str],
                    condition: str | None = None) -> list[dict]:
+    if not attr_cols:       # no varying numeric personal attributes
+        return []           # (guard: sklearn rejects (n, 0) matrices)
     valid = feature_df.dropna(subset=[target_col])
     if len(valid) < 4 or valid[target_col].nunique() < 2:
         return []
@@ -386,7 +388,12 @@ def plot_moderator_scatters(cluster_df: pd.DataFrame,
         return
     top = (mi_summary[feature_cols].mean(skipna=True).dropna()
            .sort_values(ascending=False).head(top_n).index.tolist())
-    lvl1_cond_var, lvl1_conditions = conditions_to_evaluate["lvl_1"]
+    # y-axis contrast level: the reference scatters against its lvl_1
+    # contrast; fall back to the first configured level when the study
+    # evaluates a single level (e.g. integration tests)
+    lvl_key = ("lvl_1" if "lvl_1" in conditions_to_evaluate
+               else next(iter(conditions_to_evaluate)))
+    lvl1_cond_var, lvl1_conditions = conditions_to_evaluate[lvl_key]
     mean_contrast = (contrast_frame.loc[
         contrast_frame[dep_var_col].isin(dep_vars)
         & (contrast_frame["Condition_Variable"] == lvl1_cond_var)
@@ -405,7 +412,7 @@ def plot_moderator_scatters(cluster_df: pd.DataFrame,
             x=valid[moderator].astype(float).values,
             y=valid["Normalised_Contrast"].astype(float).values,
             x_label=moderator,
-            y_label="Mean Normalised Contrast (lvl_1)",
+            y_label=f"Mean Normalised Contrast ({lvl_key})",
             category_list=valid["Cluster"].astype(str).tolist(),
             category_label="Cluster", save_dir=output_dir)
 

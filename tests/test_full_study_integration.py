@@ -32,11 +32,16 @@ from mba_tpu.pipeline import data_analysis
 
 FS = 128.0
 TIME_SCALE = 0.05            # 45 s trials → 2.25 s
-N_SUBJECTS = 3
+N_SUBJECTS = 6               # ≥4 so the heterogeneity clustering +
+#                              MI paths run (VERDICT r4 #6); even/odd
+#                              subjects get strong/weak planted gains
+#                              so Ward clustering has real structure
+STRONG_GAIN, WEAK_GAIN = 1.0, 0.35
 
 
 def _synth_recording(log_df, seed,
-                     cmc_boost_categories=("Familiar Happy",)):
+                     cmc_boost_categories=("Familiar Happy",),
+                     boost_gain=STRONG_GAIN):
     """EEG/EMG spanning the recording, with beta-band coupling during
     music trials of the boosted categories."""
     rng = np.random.default_rng(seed)
@@ -67,7 +72,7 @@ def _synth_recording(log_df, seed,
         if label in cmc_boost_categories:
             i0 = max(int((ts - start).total_seconds() * FS), 0)
             i1 = min(int((te - start).total_seconds() * FS), n)
-            gain[i0:i1] = 1.0
+            gain[i0:i1] = boost_gain
 
     drive = shared * gain
     eeg = (0.8 * drive[:, None]
@@ -77,6 +82,39 @@ def _synth_recording(log_df, seed,
     emg2 = (0.2 * drive[:, None]
             + rng.standard_normal((n, 4))).astype(np.float32)
     return eeg, emg1, emg2
+
+
+class _VariedController:
+    """Questionnaire answers that VARY by subject, so the heterogeneity
+    MI probes have non-degenerate personal attributes to score (the
+    default controller's constant answers yield zero varying numeric
+    columns and the MI path would be skipped)."""
+
+    _HABITS = ["Seldom", "Every 2 or 3 days", "A small part of the day",
+               "Most of the day"]
+
+    def __init__(self, subject: int):
+        self.s = subject
+
+    def onboarding(self) -> dict:
+        return {"Name": f"S{self.s}", "Birthdate": "2000-01-01",
+                "Gender": "Male" if self.s % 2 else "Female",
+                "Dominant hand": "Left" if self.s % 3 == 0 else "Right",
+                "Listening habit": self._HABITS[self.s % 4],
+                "Dancing habit": self.s % 4,
+                "Athleticism": (self.s * 2) % 5,
+                "Musical skill": self.s % 7}
+
+    def offboarding(self) -> dict:
+        return {"Total fatigue": 1 + self.s % 3,
+                "Total pleasure": 2 + self.s % 3}
+
+    def familiarity(self, song_info: str) -> dict:
+        return {"Familiarity": 1 + self.s % 4}
+
+    def post_trial_rating(self, trial_label: str) -> dict:
+        return {"Liking": 1 + self.s % 5, "Fitting Category": 3,
+                "Emotional State": 3}
 
 
 @pytest.fixture(scope="module")
@@ -100,7 +138,9 @@ def study(tmp_path_factory):
             n_silence_trials=1,
             task_frequencies_hz=[0.5], mvc_calibration_sec=6.0,
             dummy_mode=True)
-        start_experiment_processes(cfg, time_scale=TIME_SCALE)
+        start_experiment_processes(
+            cfg, controller=_VariedController(subject),
+            time_scale=TIME_SCALE)
 
         # 2. log enrichment (scaled end-delay for the tiny trials)
         enriched = integrate_subject(subject, exp_data, validate=False,
@@ -109,7 +149,9 @@ def study(tmp_path_factory):
         # 3.+4. synthetic signals → features
         subject_feat = feat_data / f"subject_{subject:02}"
         subject_feat.mkdir()
-        eeg, emg1, emg2 = _synth_recording(enriched, seed=subject)
+        eeg, emg1, emg2 = _synth_recording(
+            enriched, seed=subject,
+            boost_gain=STRONG_GAIN if subject % 2 == 0 else WEAK_GAIN)
         extract_psd_features(subject_feat, eeg, emg1, emg2, FS,
                              window_length_sec=0.25)
         log_indexed = di.fetch_enriched_log_frame(
@@ -360,16 +402,48 @@ class TestFullStudy:
             combined.to_dict("records"), base_df, stats_dir, levels(False))
         assert not summary.empty
 
-        het_out = study["out_dir"] / "heterogeneity"
-        run_heterogeneity_modelling(
+        # heterogeneity must EXERCISE the Ward/silhouette machinery on
+        # this study (VERDICT r4 #6 — the old 3-subject frame tripped
+        # the insufficient-data skip), and assignments must be stable
+        # across repeat runs
+        import warnings as _w
+        het_kwargs = dict(
             dep_vars=["CMC_Flexor_max_beta"],
             conditions_to_evaluate={
                 "lvl_0": ("Category or Silence", ["Happy", "Sad"])},
             clustering_measures=["contrast"],
             plot_mi_categories=[], top_n_moderators=2,
-            min_cluster_size=1, output_dir=het_out,
+            min_cluster_size=1,
             omnibus_results_dir=stats_dir,
             experiment_results_dir=study["exp_data"])
+        het_out = study["out_dir"] / "heterogeneity"
+        with _w.catch_warnings(record=True) as caught:
+            _w.simplefilter("always")
+            run_heterogeneity_modelling(output_dir=het_out, **het_kwargs)
+        skips = [str(w.message) for w in caught
+                 if "skipped" in str(w.message)
+                 or "No MI scores" in str(w.message)]
+        assert not skips, f"heterogeneity paths skipped: {skips}"
+        cluster_csvs = list(het_out.glob("*Subject Clusters*.csv"))
+        assert cluster_csvs, "clustering produced no assignment CSV"
+        clusters = pd.read_csv(cluster_csvs[0])
+        assert set(clusters["Subject_ID"].astype(int)) == \
+            set(range(N_SUBJECTS))
+        assert clusters["Cluster"].nunique() >= 2
+        assert list(het_out.glob("*Silhouette Scores*.csv"))
+
+        # determinism: a second run partitions the subjects identically
+        het_out2 = study["out_dir"] / "heterogeneity_rerun"
+        run_heterogeneity_modelling(output_dir=het_out2, **het_kwargs)
+        clusters2 = pd.read_csv(
+            list(het_out2.glob("*Subject Clusters*.csv"))[0])
+
+        def partition(df):
+            groups = df.groupby("Cluster")["Subject_ID"].apply(
+                lambda s: tuple(sorted(s.astype(int))))
+            return set(groups)
+
+        assert partition(clusters) == partition(clusters2)
         produced = list(het_out.glob("*.csv")) + list(
             het_out.glob("*.png"))
         assert produced, "heterogeneity produced no artifacts"
