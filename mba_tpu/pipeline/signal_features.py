@@ -667,6 +667,29 @@ class BandAggregates:
         return out
 
 
+def _band_agg_device(spec, spans: tuple):
+    """Jitted (windows, freqs, channels) → (windows, bands, channels, 2)
+    band reduction over static contiguous frequency spans.  NaN-aware:
+    matches the host path's nanmean / nanmax (all-NaN bins → NaN)."""
+    import functools
+    import jax
+
+    @functools.partial(jax.jit, static_argnums=(1,))
+    def kernel(s, spans_):
+        import jax.numpy as jnp
+        cols = []
+        for lo, hi in spans_:
+            sub = jax.lax.slice_in_dim(s, lo, hi, axis=1)
+            all_nan = jnp.isnan(sub).all(axis=1)
+            mean = jnp.nanmean(sub, axis=1)
+            mx = jnp.where(all_nan, jnp.nan, jnp.nanmax(
+                jnp.where(jnp.isnan(sub), -jnp.inf, sub), axis=1))
+            cols.append(jnp.stack([mean, mx], axis=-1))
+        return jnp.stack(cols, axis=1)
+
+    return kernel(spec, spans)
+
+
 def band_aggregate_spectrogram(spectrogram, freqs,
                                bands: dict | None = None):
     """Reduce (windows, freqs, channels) → (windows, bands, channels, 2).
@@ -697,16 +720,16 @@ def band_aggregate_spectrogram(spectrogram, freqs,
 
     is_device = not isinstance(spectrogram, np.ndarray)
     if is_device:
-        import jax.numpy as jnp
-        cols = []
-        for sel in masks:
-            sub = spectrogram[:, np.where(sel)[0], :]
-            all_nan = jnp.isnan(sub).all(axis=1)
-            mean = jnp.nanmean(sub, axis=1)
-            mx = jnp.where(all_nan, jnp.nan, jnp.nanmax(
-                jnp.where(jnp.isnan(sub), -jnp.inf, sub), axis=1))
-            cols.append(jnp.stack([mean, mx], axis=-1))
-        payload = jnp.stack(cols, axis=1)
+        # one fused jit over STATIC contiguous band spans — the old
+        # eager per-band gather dispatched ~5 separate XLA programs per
+        # band (~28 s of first-call compile at study shapes, measured
+        # by tools/profile_psd.py, vs 0.15 s steady); bands are
+        # contiguous on a monotone frequency axis, so static
+        # slice_in_dim bounds compile as a single cheap program
+        spans = tuple((int(np.flatnonzero(sel)[0]),
+                       int(np.flatnonzero(sel)[-1]) + 1)
+                      for sel in masks)
+        payload = _band_agg_device(spectrogram, spans)
     else:
         spectrogram = np.asarray(spectrogram)
         cols = []

@@ -38,11 +38,12 @@ def main():
     from mba_tpu.pipeline import signal_features as features
 
     n = int(minutes * 60 * FS)
-    rng = np.random.default_rng(0)
-    x = rng.standard_normal((n, N_CH)).astype(np.float32)
     print(f"[setup] {minutes:.1f} min x {N_CH} ch on "
           f"{jax.devices()[0].platform}", file=sys.stderr)
-    x_d = jnp.asarray(x)
+    # synthesize ON DEVICE — the probe measures compute, not the dev
+    # tunnel (a host upload of this tensor is minutes of link time)
+    x_d = jax.jit(lambda k: jax.random.normal(k, (n, N_CH), jnp.float32))(
+        jax.random.PRNGKey(0))
     hard_sync(x_d)
 
     ws = int(WINDOW_SEC * FS)

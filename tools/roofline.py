@@ -134,6 +134,51 @@ def kernel_cmc_fullgrid():
 
 
 
+def kernel_psd_stage():
+    """The production multitaper-PSD leg (pipeline stage 3a): one
+    128-window chunk of the study shape (1-s windows @ 2048 Hz, 64 ch)
+    through spectral._mt_psd_kernel + the band-aggregate epilogue —
+    the second-largest pure-device leg of the pipeline (VERDICT r4 #4;
+    tools/profile_psd.py attributes the old 24.6 s wall to one-time
+    compilation, steady-state ~0.6 s for 3406 windows)."""
+    from mba_tpu.ops import spectral
+    from mba_tpu.ops.dpss import dpss_windows
+    from mba_tpu.pipeline import signal_features as features
+
+    ws = int(1.0 * FS)                       # 2048
+    wc = 128
+    nF = ws // 2 + 1
+    tapers = jnp.asarray(dpss_windows(ws, NW, 5), jnp.float32)
+    K = int(tapers.shape[0])
+    onesided = jnp.asarray(spectral._onesided_scale(nF, ws))
+    inv_fs_n = np.float32(1.0 / (FS * ws))
+    rng = np.random.default_rng(4)
+    frames = jax.device_put(
+        rng.standard_normal((wc, ws, E)).astype(np.float32))
+    fr = np.fft.rfftfreq(ws, d=1.0 / FS)
+
+    def full(frames):
+        spec = spectral._mt_psd_kernel(frames, tapers, onesided,
+                                       inv_fs_n, True)
+        payload, _, _ = features.band_aggregate_spectrogram(spec, fr)
+        return payload
+
+    fn = _scalarize(full)
+
+    def run():
+        float(fn(frames))
+
+    sec = _time_reps(run)
+    fl = (fft_flops(ws, wc * K * E)              # taper FFTs
+          + 1.0 * wc * K * ws * E                # taper multiply
+          + 3.0 * wc * K * nF * E                # |.|^2 + K-mean
+          + 4.0 * wc * nF * E)                   # log10 epilogue
+    by = (4.0 * wc * ws * E                      # frames read
+          + 2.0 * 4.0 * wc * nF * E              # spectrogram w+r
+          + 4.0 * wc * 8 * E * 2)                # band payload out
+    return sec, fl, by, f"multitaper PSD + band agg ({wc} windows)"
+
+
 def _null_problem():
     """Shared problem size + inputs for the rotation-null A/B rows."""
     J, nF, N, K = 12, 175, E * M, 5
@@ -422,7 +467,7 @@ def main():
     # lets XLA fuse away the t-map materialization (measuring a kernel
     # that never exists in production).  That path is covered by the
     # end-to-end permutations/s figure in bench.py instead.
-    for k in (kernel_cmc_fullgrid, kernel_rotation_null,
+    for k in (kernel_psd_stage, kernel_cmc_fullgrid, kernel_rotation_null,
               kernel_rotation_null_pallas, kernel_coeff_pass,
               kernel_coeff_pass_pallas, kernel_coeff_pass_gram,
               kernel_batched_reml):
