@@ -56,12 +56,12 @@ class TrialPlan:
     artifacts of subjects 1-11 are jittered from subject 0's, so the
     music/silence placement must be identical across subjects)."""
 
-    def __init__(self):
+    def __init__(self, n_trials: int = N_TRIALS):
         self.trials = []          # dicts with all per-trial constants
         song_id = 0
         silence_id = 0
         cat_cycle = 0
-        for i in range(N_TRIALS):
+        for i in range(n_trials):
             is_music = bool(MUSIC_PATTERN[i % len(MUSIC_PATTERN)])
             t_on = PRE_ROLL_SEC + i * (TRIAL_SEC + GAP_SEC)
             trial = {
