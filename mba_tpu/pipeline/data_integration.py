@@ -23,6 +23,7 @@ from __future__ import annotations
 import ast
 import json
 import re
+import weakref
 from pathlib import Path
 from typing import Literal
 
@@ -309,7 +310,7 @@ def prepare_log_frame(log_frame: pd.DataFrame,
 # ========================================================================
 # trial-id algebra & time spans
 # ========================================================================
-_SPAN_TABLE_ATTR = "_mba_task_span_table"
+_SPAN_TABLE_CACHE: dict[int, dict] = {}
 
 
 def _span_table(df: pd.DataFrame) -> dict:
@@ -320,13 +321,25 @@ def _span_table(df: pd.DataFrame) -> dict:
     full boolean row-masks of the log frame PER CALL
     (``get_task_start_end`` — profiled as the top stage-4 cost,
     tools/profile_s4.py).  One groupby pass replaces them all; the
-    result is memoized on ``df.attrs`` with a shape + column-content
-    fingerprint token, so a fresh or curated frame recomputes (pandas
-    propagates attrs through copies).  An in-place mutation that
-    changes none of the fingerprinted counts would still serve a stale
-    table — consumers treat cached frames read-only (the input_cache
-    contract).
+    result is memoized in a module-level cache keyed by ``id(df)`` (a
+    weakref finalizer evicts on frame death, so a recycled id can never
+    serve another frame's table).  NOT stored on ``df.attrs``: pandas
+    deep-copies non-empty ``attrs`` into every derived object — with
+    the table attached, plain column accesses of a study-scale log
+    frame cost ~60 s of ``copy.deepcopy`` per stage-4 build
+    (tools/profile_s4.py).  Every curation op (``annotate_trial``,
+    ``remove_song_entries`` …) returns a COPY — a new object id — so a
+    curated frame always recomputes; a hit validates only the O(1)
+    shape (the O(n) column fingerprints cost ~8 s/build at study
+    scale).  In-place mutation of a frame already passed to a span
+    consumer is outside the contract (frames are read-only once
+    consumed — the input_cache contract).
     """
+    cached = _SPAN_TABLE_CACHE.get(id(df))
+    if (isinstance(cached, dict)
+            and cached.get("shape") == (len(df), df.columns.size)):
+        return cached
+
     def _col(name):
         if name in df.columns:
             return pd.Series(df[name].to_numpy(), copy=False)
@@ -339,21 +352,9 @@ def _span_table(df: pd.DataFrame) -> dict:
                          .to_numpy(dtype=bool))
     else:
         excl = pd.Series(np.zeros(len(df), dtype=bool))
-
-    # token = shape + a fingerprint of every column the table digests:
-    # pandas propagates .attrs through .copy()/derivations, so an
-    # annotated copy (e.g. annotate_trial marking an exclusion) would
-    # otherwise serve the PARENT's table — shape alone cannot tell them
-    # apart (caught by test_span_table_fast_path_matches_mask_path)
-    token = (len(df), df.columns.size, int(excl.sum()),
-             int(task.notna().sum()), int(song.notna().sum()),
-             int(silence.notna().sum()), int(trial.notna().sum()))
-    cached = df.attrs.get(_SPAN_TABLE_ATTR)
-    if isinstance(cached, dict) and cached.get("token") == token:
-        return cached
     times = pd.Series(_times_of(df)).reset_index(drop=True)
 
-    tbl: dict = {"token": token}
+    tbl: dict = {"shape": (len(df), df.columns.size)}
 
     def _spans(mask, ids):
         if not mask.any():
@@ -399,7 +400,12 @@ def _span_table(df: pd.DataFrame) -> dict:
                                 for i, t, a in zip(info.index,
                                                    info["title"],
                                                    info["artist"])}
-    df.attrs[_SPAN_TABLE_ATTR] = tbl
+    key = id(df)
+    if key not in _SPAN_TABLE_CACHE:
+        # evict on frame death so a recycled id can't alias; token
+        # alone could collide on an identically-shaped successor
+        weakref.finalize(df, _SPAN_TABLE_CACHE.pop, key, None)
+    _SPAN_TABLE_CACHE[key] = tbl
     return tbl
 
 

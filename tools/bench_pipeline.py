@@ -723,12 +723,15 @@ def main():
             [("CMC_Flexor_max_beta", 1, 1), ("CMC_Extensor_max_beta",
                                              1, 1)],
             combined, feat_root, out_dir, fetch_level_definitions)
+        detail["s5_loso_sec"] = round(time.perf_counter() - t0, 2)
+        t0p = time.perf_counter()
         power_cfg = statistics.PowerConfig(
             dependent_var="CMC_Flexor_max_beta", comp_lvl=1,
             n_segments=1, target_parameters=[], n_simulations=500)
         statistics.run_power_analysis(
             [power_cfg], combined, feat_root, out_dir,
             fetch_level_definitions)
+        detail["s5_power_sec"] = round(time.perf_counter() - t0p, 2)
         stages["s5_loso_power_sec"] = round(time.perf_counter() - t0, 2)
         compile_split("s5_loso_power")
 
