@@ -133,23 +133,37 @@ def _batched_reml_core(X, Y, gidx, counts, n_groups, n_iters=60):
 
     X: (n, p); Y: (S, n) simulated responses; returns (beta (S,p),
     bse (S,p), scale (S,), lam (S,)).
+
+    All matmuls run at ``Precision.HIGHEST``: on TPU the default matmul
+    precision feeds the MXU bf16 inputs (~0.4% relative error), which
+    destroys X'X / X'y structure for study designs whose effects sit
+    3-4 orders of magnitude below the column scales (DV ≈ 0.9 coherence
+    vs category effects ≈ 1e-3, force 20-60 %MVC) — measured symptom:
+    every simulated p-value ≈ 1 and power 0.000 at every multiplier
+    while the identical solve on CPU (true f32) behaves.  The solve is
+    O(p²·n) per response — negligible next to the surrogate/coherence
+    kernels — so full f32 costs nothing measurable here.
     """
+    prec = jax.lax.Precision.HIGHEST
     n, p = X.shape
-    xtx_full = X.T @ X                                     # (p, p)
+    xtx_full = jnp.matmul(X.T, X, precision=prec)          # (p, p)
     Xg = jax.ops.segment_sum(X, gidx, num_segments=n_groups)  # (G, p)
 
     def stats_for(y):
         yg = jax.ops.segment_sum(y, gidx, num_segments=n_groups)
-        xty_full = X.T @ y
+        xty_full = jnp.matmul(X.T, y, precision=prec)
 
         def quantities(lam):
             w = lam / (1.0 + lam * counts)
-            xtx = xtx_full - (Xg * w[:, None]).T @ Xg
-            xty = xty_full - (Xg * w[:, None]).T @ yg
+            xtx = xtx_full - jnp.matmul((Xg * w[:, None]).T, Xg,
+                                        precision=prec)
+            xty = xty_full - jnp.matmul((Xg * w[:, None]).T, yg,
+                                        precision=prec)
             beta = jnp.linalg.solve(xtx, xty)
-            r = y - X @ beta
+            r = y - jnp.matmul(X, beta, precision=prec)
             rg = jax.ops.segment_sum(r, gidx, num_segments=n_groups)
-            quad = r @ r - w @ rg ** 2
+            quad = (jnp.vdot(r, r, precision=prec)
+                    - jnp.vdot(w, rg ** 2, precision=prec))
             logdet_w = jnp.sum(jnp.log1p(lam * counts))
             _, logdet_xtx = jnp.linalg.slogdet(xtx)
             return beta, xtx, quad, logdet_w, logdet_xtx
@@ -198,7 +212,13 @@ def _batched_reml_weighted(Xb, Yb, Wb, gidx, n_groups, n_iters=60):
     exact row removal under the REML algebra).  Used for clustered
     bootstrap where every resample has its own padded design.  Returns
     beta (B, p).
+
+    Matmuls at ``Precision.HIGHEST`` for the same reason as
+    ``_batched_reml_core`` — the TPU's default bf16 MXU inputs destroy
+    small effects against large column scales.
     """
+    prec = jax.lax.Precision.HIGHEST
+
     def one(X, y, w):
         n_eff = jnp.sum(w)
         p = X.shape[1]
@@ -206,17 +226,20 @@ def _batched_reml_weighted(Xb, Yb, Wb, gidx, n_groups, n_iters=60):
         counts = jax.ops.segment_sum(w, gidx, num_segments=n_groups)
         Xg = jax.ops.segment_sum(Xw, gidx, num_segments=n_groups)
         yg = jax.ops.segment_sum(y * w, gidx, num_segments=n_groups)
-        xtx_full = Xw.T @ X
-        xty_full = Xw.T @ y
+        xtx_full = jnp.matmul(Xw.T, X, precision=prec)
+        xty_full = jnp.matmul(Xw.T, y, precision=prec)
 
         def quantities(lam):
             wg = lam / (1.0 + lam * counts)
-            xtx = xtx_full - (Xg * wg[:, None]).T @ Xg
-            xty = xty_full - (Xg * wg[:, None]).T @ yg
+            xtx = xtx_full - jnp.matmul((Xg * wg[:, None]).T, Xg,
+                                        precision=prec)
+            xty = xty_full - jnp.matmul((Xg * wg[:, None]).T, yg,
+                                        precision=prec)
             beta = jnp.linalg.solve(xtx, xty)
-            r = y - X @ beta
+            r = y - jnp.matmul(X, beta, precision=prec)
             rg = jax.ops.segment_sum(r * w, gidx, num_segments=n_groups)
-            quad = jnp.sum(w * r * r) - wg @ rg ** 2
+            quad = (jnp.vdot(w * r, r, precision=prec)
+                    - jnp.vdot(wg, rg ** 2, precision=prec))
             logdet_w = jnp.sum(jnp.log1p(lam * counts))
             _, logdet_xtx = jnp.linalg.slogdet(xtx)
             return beta, quad, logdet_w, logdet_xtx
@@ -260,12 +283,21 @@ def batched_lme_pvalues(X: np.ndarray, Y: np.ndarray,
     """
     uniq, gidx = np.unique(groups, return_inverse=True)
     counts = np.bincount(gidx, minlength=len(uniq)).astype(np.float32)
+    # column equilibration: real designs mix scales (intercept 1,
+    # dummies 0/1, force 20-60, trial id 0-30) — max-abs scaling drops
+    # cond(X'X) by ~4 orders so the f32 device solve keeps the 2-3
+    # digits the z-test needs.  Exact: beta/bse rescale covariantly,
+    # λ and the residual scale are invariant (the REML criterion only
+    # shifts by a λ-independent constant).
+    col_scale = np.max(np.abs(X), axis=0)
+    col_scale[col_scale == 0] = 1.0
     beta, bse, scale, lam = _batched_reml_core(
-        jnp.asarray(X, jnp.float32), jnp.asarray(Y, jnp.float32),
+        jnp.asarray(X / col_scale, jnp.float32),
+        jnp.asarray(Y, jnp.float32),
         jnp.asarray(gidx, jnp.int32), jnp.asarray(counts),
         n_groups=len(uniq))
-    beta = np.asarray(beta, np.float64)
-    bse = np.asarray(bse, np.float64)
+    beta = np.asarray(beta, np.float64) / col_scale
+    bse = np.asarray(bse, np.float64) / col_scale
     with np.errstate(divide='ignore', invalid='ignore'):
         z = np.where(bse > 0, beta / bse, np.nan)
     pvalues = 2 * stats.norm.sf(np.abs(z))

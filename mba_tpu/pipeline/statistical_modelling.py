@@ -861,6 +861,7 @@ def _simulate_jobs_and_fit(generative_params: dict, design: np.ndarray,
         cols.append(param_names.index(target_parameter))
 
     powers: list[float] = []
+    nan_frac = 0.0
     # bound each device batch at ~8M response elements (HBM + upload)
     per_chunk = max(1, 8_000_000 // (n_simulations * max(n_obs, 1)))
     for start in range(0, len(jobs), per_chunk):
@@ -871,6 +872,11 @@ def _simulate_jobs_and_fit(generative_params: dict, design: np.ndarray,
         for k, j in enumerate(cols[start:start + per_chunk]):
             p = p_all[k, :, j]
             powers.append(float(np.mean((~np.isnan(p)) & (p < alpha))))
+            nan_frac += float(np.isnan(p).mean()) / len(jobs)
+    if nan_frac > 0.01:
+        warnings.warn(f"[Power] {nan_frac:.1%} of simulated p-values "
+                      f"are NaN — the batched REML solve is failing on "
+                      f"this design (counted as non-rejections).")
     return powers
 
 
@@ -937,6 +943,10 @@ def run_power_analysis(configs: list[PowerConfig],
             base_df = df_transform(base_df)
         gen_params = _extract_lme_params(results_df, cfg.dependent_var,
                                          cfg.comp_lvl, cfg.n_segments)
+        print(f"    generative: residual_std="
+              f"{gen_params['residual_std']:.4g}, re_std="
+              f"{gen_params['re_std']:.4g}, "
+              f"|fixed| max={max(abs(v) for v in gen_params['fixed_effects'].values()):.4g}")
         level_def = fetch_level_definitions(cfg.n_segments > 1)[
             cfg.comp_lvl]
         sim_data = base_df.copy()

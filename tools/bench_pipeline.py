@@ -782,6 +782,39 @@ def main():
                                           time.gmtime()),
         }
         out_path = REPO / "BENCH_PIPELINE.json"
+        # preserve blocks other tools merge in (e.g. subject_scaling
+        # from tools/bench_subject_scaling.py) — refresh its projection
+        # against this run's stage walls
+        if out_path.exists():
+            prior = json.loads(out_path.read_text())
+            for key, val in prior.items():
+                if key not in result:
+                    result[key] = val
+        sc = result.get("subject_scaling")
+        if isinstance(sc, dict):
+            heavy_wall = sum(stages[k] for k in stages
+                             if k.startswith(("s1_", "s2_", "s3_"))
+                             and k.endswith("_sec"))
+            heavy_compile = sum(v for k, v in detail.items()
+                                if k.startswith(("s1_", "s2_", "s3_"))
+                                and k.endswith("_compile_sec"))
+            stats_wall = sum(stages[k] for k in stages
+                             if k.startswith(("s4_", "s5_"))
+                             and k.endswith("_sec"))
+            tpu_12 = ((heavy_wall - heavy_compile) * N_SUBJECTS
+                      + heavy_compile + stats_wall)
+            cpu_12 = N_SUBJECTS * sum(denominators[k] for k in (
+                "s2_filter_cpu_sec_extrapolated",
+                "s2_ica_cpu_sec_extrapolated",
+                "s3_psd_cpu_sec_extrapolated",
+                "s3_cmc_cpu_sec_pinned_rate")) \
+                + denominators["s5_cbpa_perm_cpu_sec_extrapolated"]
+            sc["full_scale_heavy_wall_sec_1subj"] = round(heavy_wall, 1)
+            sc["full_scale_heavy_compile_sec"] = round(heavy_compile, 1)
+            sc["pipeline_12subj_tpu_sec_projected"] = round(tpu_12, 1)
+            sc["pipeline_12subj_cpu_sec_projected"] = round(cpu_12, 1)
+            sc["pipeline_speedup_12subj_measured_scaling"] = round(
+                cpu_12 / tpu_12, 1)
         out_path.write_text(json.dumps(result, indent=2) + "\n")
         log(f"[done] total pipeline {total:.1f}s (CPU denominator "
             f"{cpu_total:.0f}s ⇒ ×{result['pipeline_speedup_vs_cpu']}) "
