@@ -17,9 +17,10 @@ Two implementations share the math:
   returning the statsmodels-shaped result (fe_params, bse, z-based
   pvalues, scale, cov_re, BLUPs, llf/aic/bic).
 - :func:`batched_lme_pvalues` — the TPU path: thousands of simulated
-  response vectors refit simultaneously (vmap over a fixed-iteration
-  golden-section search on ln λ).  This is what makes the reference's
-  "very run-time extensive" power analysis (BASELINE.md) tractable.
+  response vectors refit simultaneously (sufficient-statistics
+  criterion + hierarchical parallel grid on ln λ).  This is what makes
+  the reference's "very run-time extensive" power analysis
+  (BASELINE.md) tractable.
 """
 from __future__ import annotations
 
@@ -127,12 +128,79 @@ def fit_random_intercept_reml(X: np.ndarray, y: np.ndarray,
 # --------------------------------------------------------------------------
 # batched TPU path (power simulations, bootstrap, LOSO fleets)
 # --------------------------------------------------------------------------
-@functools.partial(jax.jit, static_argnames=("n_groups", "n_iters"))
-def _batched_reml_core(X, Y, gidx, counts, n_groups, n_iters=60):
+_REML_BLOCK = 8192     # max responses per compiled REML executable
+
+
+def _solve_psd_small(A, B):
+    """Batched SPD solve + log-det for tiny static p, fully unrolled.
+
+    A: (..., p, p) SPD; B: (..., p, m).  Returns (X, logdet) with
+    X = A⁻¹B.  ``jnp.linalg.cholesky``/``cho_solve`` on a 600k-batch of
+    6×6 matrices lowers to XLA's generic blocked linalg — measured
+    ~100s of *compile* time at the power stage's shapes — while this
+    unrolled Cholesky-Crout is ~p³/6 fused elementwise ops over the
+    batch: sub-second compile, bandwidth-trivial run.  Non-PD inputs
+    surface as NaNs (sqrt of a negative pivot), which callers map to
+    +inf criteria / NaN p-values.
+    """
+    p = A.shape[-1]
+    L = {}
+    for j in range(p):
+        for i in range(j, p):
+            s = A[..., i, j]
+            for k in range(j):
+                s = s - L[(i, k)] * L[(j, k)]
+            L[(i, j)] = jnp.sqrt(s) if i == j else s / L[(j, j)]
+    logdet = 2.0 * sum(jnp.log(L[(i, i)]) for i in range(p))
+    ys = []
+    for i in range(p):                     # forward: L y = B
+        s = B[..., i, :]
+        for k in range(i):
+            s = s - L[(i, k)][..., None] * ys[k]
+        ys.append(s / L[(i, i)][..., None])
+    xs = [None] * p
+    for i in reversed(range(p)):           # backward: Lᵀ x = y
+        s = ys[i]
+        for k in range(i + 1, p):
+            s = s - L[(k, i)][..., None] * xs[k]
+        xs[i] = s / L[(i, i)][..., None]
+    return jnp.stack(xs, axis=-2), logdet
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_groups", "n_grid", "n_levels"))
+def _batched_reml_core(X, Y, gidx, counts, n_groups, n_grid=17,
+                       n_levels=3):
     """Vectorised profiled REML for many response vectors at once.
 
     X: (n, p); Y: (S, n) simulated responses; returns (beta (S,p),
     bse (S,p), scale (S,), lam (S,)).
+
+    Two TPU-shaped design choices (each measured ~2-5× on the bench
+    pipeline's 17,500-refit power stage, tools/bench_pipeline.py s5):
+
+    1. **Sufficient statistics via the OLS-residual split.**  Writing
+       y = Xβ̂₀ + e₀ (β̂₀ the per-response OLS fit, X'e₀ = 0), every
+       λ-dependent REML quantity reduces to {β̂₀, e₀'e₀, per-group sums
+       of e₀} — all computed ONCE per response as MXU matmuls — so the
+       λ search does O(G·p² + p³) work per evaluation instead of O(n·p).
+       The split is also exactly cancellation-free: r'r = e₀'e₀ +
+       δ'X'Xδ with δ = β̂₀ − β(λ), both terms non-negative, unlike the
+       y'y − 2β'X'y + β'X'Xβ expansion which loses ~log₁₀(y'y / r'r)
+       digits in f32.
+
+    2. **Hierarchical parallel λ-grid instead of a sequential search.**
+       A golden-section scan is 2·n_iters dependent tiny-kernel rounds —
+       latency-bound on TPU.  Here each level evaluates the criterion at
+       ``n_grid`` points for ALL responses in one batched shot (the p×p
+       Cholesky factors double as the |X'W⁻¹X| log-dets), then recenters
+       on the per-response argmin: 3 levels of 17 points + a free
+       parabolic-vertex refinement of the last bracket resolve ln λ to
+       ≲1e-3 — beyond what β/SE can feel (tests pin rtol 2e-3 against
+       the host Brent solver) — in 4 parallel rounds instead of ~120
+       sequential ones.  Grid size matters twice: XLA's compile time
+       grows superlinearly in the flat program (measured 117s at
+       33 points × 3 levels × 8192 responses vs ~11s at 17 × 3).
 
     All matmuls run at ``Precision.HIGHEST``: on TPU the default matmul
     precision feeds the MXU bf16 inputs (~0.4% relative error), which
@@ -140,68 +208,99 @@ def _batched_reml_core(X, Y, gidx, counts, n_groups, n_iters=60):
     3-4 orders of magnitude below the column scales (DV ≈ 0.9 coherence
     vs category effects ≈ 1e-3, force 20-60 %MVC) — measured symptom:
     every simulated p-value ≈ 1 and power 0.000 at every multiplier
-    while the identical solve on CPU (true f32) behaves.  The solve is
-    O(p²·n) per response — negligible next to the surrogate/coherence
-    kernels — so full f32 costs nothing measurable here.
+    while the identical solve on CPU (true f32) behaves.
     """
     prec = jax.lax.Precision.HIGHEST
     n, p = X.shape
+    S = Y.shape[0]
     xtx_full = jnp.matmul(X.T, X, precision=prec)          # (p, p)
     Xg = jax.ops.segment_sum(X, gidx, num_segments=n_groups)  # (G, p)
+    XgXg = (Xg[:, :, None] * Xg[:, None, :]).reshape(n_groups, p * p)
 
-    def stats_for(y):
-        yg = jax.ops.segment_sum(y, gidx, num_segments=n_groups)
-        xty_full = jnp.matmul(X.T, y, precision=prec)
+    # per-response sufficient statistics — one MXU pass over the data
+    xty = jnp.matmul(X.T, Y.T, precision=prec)             # (p, S)
+    beta_ols = jnp.linalg.solve(xtx_full, xty)             # (p, S)
+    E0 = Y - jnp.matmul(X, beta_ols, precision=prec).T     # (S, n)
+    ee = jnp.einsum('sn,sn->s', E0, E0, precision=prec)    # (S,)
+    e0g = jax.ops.segment_sum(E0.T, gidx,
+                              num_segments=n_groups)       # (G, S)
+    yg = jnp.matmul(Xg, beta_ols, precision=prec) + e0g    # (G, S)
+    beta_ols_s = beta_ols.T                                # (S, p)
+    yg_s, e0g_s = yg.T, e0g.T                              # (S, G)
 
-        def quantities(lam):
-            w = lam / (1.0 + lam * counts)
-            xtx = xtx_full - jnp.matmul((Xg * w[:, None]).T, Xg,
-                                        precision=prec)
-            xty = xty_full - jnp.matmul((Xg * w[:, None]).T, yg,
-                                        precision=prec)
-            beta = jnp.linalg.solve(xtx, xty)
-            r = y - jnp.matmul(X, beta, precision=prec)
-            rg = jax.ops.segment_sum(r, gidx, num_segments=n_groups)
-            quad = (jnp.vdot(r, r, precision=prec)
-                    - jnp.vdot(w, rg ** 2, precision=prec))
-            logdet_w = jnp.sum(jnp.log1p(lam * counts))
-            _, logdet_xtx = jnp.linalg.slogdet(xtx)
-            return beta, xtx, quad, logdet_w, logdet_xtx
+    def eval_grid(log_lams):
+        """Criterion + fit quantities at (S, L) ln-λ points at once."""
+        lam = jnp.exp(log_lams)                            # (S, L)
+        a = lam[:, :, None] * counts                       # (S, L, G)
+        w = lam[:, :, None] / (1.0 + a)                    # (S, L, G)
+        xtx = (xtx_full
+               - jnp.matmul(w, XgXg,
+                            precision=prec).reshape(*w.shape[:2], p, p))
+        xty_l = (xty.T[:, None, :]
+                 - jnp.matmul(w * yg_s[:, None, :], Xg, precision=prec))
+        beta, ldx = _solve_psd_small(xtx, xty_l[..., None])
+        beta = beta[..., 0]                                # (S, L, p)
+        delta = beta_ols_s[:, None, :] - beta
+        rr = ee[:, None] + jnp.einsum('slp,pq,slq->sl', delta,
+                                      xtx_full, delta, precision=prec)
+        rg = e0g_s[:, None, :] + jnp.matmul(delta, Xg.T,
+                                            precision=prec)  # (S, L, G)
+        quad = rr - jnp.sum(w * rg * rg, axis=-1)
+        ldw = jnp.sum(jnp.log1p(a), axis=-1)
+        crit = ((n - p) * jnp.log(jnp.maximum(quad, 1e-30)) + ldw + ldx)
+        crit = jnp.where(jnp.isnan(crit), jnp.inf, crit)
+        return crit, xtx, beta, quad
 
-        def criterion(log_lam):
-            lam = jnp.exp(log_lam)
-            _, _, quad, ldw, ldx = quantities(lam)
-            return ((n - p) * jnp.log(jnp.maximum(quad, 1e-30))
-                    + ldw + ldx)
+    # Hierarchical grid as a lax.scan over levels: ONE instance of the
+    # eval_grid body in the compiled program regardless of n_levels.
+    # A flat unroll triples the program and pushes XLA-on-axon into a
+    # pathological regime (minutes of compile; deserialized cache
+    # entries that wedge on execution) — the rolled form compiles in
+    # seconds and round-trips the persistent cache safely.
+    lo, hi = jnp.float32(-12.0), jnp.float32(8.0)
+    offs = jnp.linspace(-1.0, 1.0, n_grid)                 # unit grid
 
-        # golden-section search on ln λ ∈ [−12, 8]
-        gr = 0.6180339887498949
-        lo, hi = jnp.float32(-12.0), jnp.float32(8.0)
+    def level(carry, _):
+        center, h, bval, seen_first = carry
+        lls = center[:, None] + h * offs[None, :]
+        crit, _, _, _ = eval_grid(lls)
+        # ln λ = −12 is column 0 of the first level's grid exactly
+        bval = jnp.where(seen_first, bval, crit[:, 0])
+        idx = jnp.argmin(crit, axis=1)
+        c = jnp.take_along_axis(lls, idx[:, None], 1)[:, 0]
+        best = jnp.take_along_axis(crit, idx[:, None], 1)[:, 0]
+        # free sub-grid refinement: parabola through the best point
+        # and its two neighbours (already evaluated) puts the vertex
+        # within O(spacing²) of the true minimum at no extra round
+        spacing = 2.0 * h / (n_grid - 1)
+        f_lo = jnp.take_along_axis(
+            crit, jnp.maximum(idx - 1, 0)[:, None], 1)[:, 0]
+        f_hi = jnp.take_along_axis(
+            crit, jnp.minimum(idx + 1, n_grid - 1)[:, None], 1)[:, 0]
+        denom = f_lo - 2.0 * best + f_hi
+        vertex = 0.5 * spacing * (f_lo - f_hi) / jnp.where(
+            denom > 0, denom, 1.0)
+        vertex = jnp.where((denom > 0) & jnp.isfinite(vertex),
+                           jnp.clip(vertex, -spacing, spacing), 0.0)
+        return (c + vertex, spacing, bval,
+                jnp.asarray(True)), best
 
-        def gs_step(state, _):
-            lo, hi = state
-            c = hi - gr * (hi - lo)
-            d = lo + gr * (hi - lo)
-            fc, fd = criterion(c), criterion(d)
-            lo = jnp.where(fc < fd, lo, c)
-            hi = jnp.where(fc < fd, d, hi)
-            return (lo, hi), None
+    init = (jnp.full((S,), 0.5 * (lo + hi)), 0.5 * (hi - lo),
+            jnp.zeros((S,)), jnp.asarray(False))
+    (center, _, crit_boundary, _), bests = jax.lax.scan(
+        level, init, None, length=n_levels)
+    best = bests[-1]
 
-        (lo, hi), _ = jax.lax.scan(gs_step, (lo, hi),
-                                   None, length=n_iters)
-        log_lam = 0.5 * (lo + hi)
-        # boundary: λ→0 if criterion prefers it
-        log_lam = jnp.where(criterion(jnp.float32(-12.0))
-                            <= criterion(log_lam),
-                            jnp.float32(-25.0), log_lam)
-        lam = jnp.exp(log_lam)
-        beta, xtx, quad, _, _ = quantities(lam)
-        scale = quad / (n - p)
-        cov = jnp.linalg.inv(xtx) * scale
-        bse = jnp.sqrt(jnp.maximum(jnp.diag(cov), 0.0))
-        return beta, bse, scale, lam
-
-    return jax.vmap(stats_for)(Y)
+    # boundary: λ→0 if the criterion prefers it
+    log_lam = jnp.where(crit_boundary <= best, jnp.float32(-25.0),
+                        center)
+    _, xtx0, beta, quad = eval_grid(log_lam[:, None])
+    scale = quad[:, 0] / (n - p)
+    inv, _ = _solve_psd_small(
+        xtx0[:, 0], jnp.broadcast_to(jnp.eye(p), (S, p, p)))
+    bse = jnp.sqrt(jnp.maximum(
+        jnp.diagonal(inv, axis1=-2, axis2=-1) * scale[:, None], 0.0))
+    return beta[:, 0], bse, scale, jnp.exp(log_lam)
 
 
 @functools.partial(jax.jit, static_argnames=("n_groups", "n_iters"))
@@ -291,13 +390,32 @@ def batched_lme_pvalues(X: np.ndarray, Y: np.ndarray,
     # shifts by a λ-independent constant).
     col_scale = np.max(np.abs(X), axis=0)
     col_scale[col_scale == 0] = 1.0
-    beta, bse, scale, lam = _batched_reml_core(
-        jnp.asarray(X / col_scale, jnp.float32),
-        jnp.asarray(Y, jnp.float32),
-        jnp.asarray(gidx, jnp.int32), jnp.asarray(counts),
-        n_groups=len(uniq))
-    beta = np.asarray(beta, np.float64) / col_scale
-    bse = np.asarray(bse, np.float64) / col_scale
+    Xd = jnp.asarray(X / col_scale, jnp.float32)
+    gd = jnp.asarray(gidx, jnp.int32)
+    cd = jnp.asarray(counts)
+    # XLA's compile time for the grid program grows superlinearly in
+    # the response batch (measured: 12s at S=8192 but ~340s at
+    # S=17500 on TPU), so bound every compiled shape: blocks of
+    # ≤ _REML_BLOCK responses, the tail zero-padded up to a power of
+    # two — a handful of cacheable executables per design instead of
+    # one unbounded compile per sweep size.  Padded rows are sliced
+    # off; the solve is row-independent.
+    S = Y.shape[0]
+    outs = []
+    start = 0
+    while start < S:
+        take = min(_REML_BLOCK, S - start)
+        pad = max(1 << (take - 1).bit_length(), 64)
+        block = np.zeros((pad, Y.shape[1]), np.float32)
+        block[:take] = Y[start:start + take]
+        outs.append(tuple(
+            np.asarray(o)[:take] for o in _batched_reml_core(
+                Xd, jnp.asarray(block), gd, cd, n_groups=len(uniq))))
+        start += take
+    beta, bse, scale, lam = (np.concatenate(parts, axis=0)
+                             for parts in zip(*outs))
+    beta = beta.astype(np.float64) / col_scale
+    bse = bse.astype(np.float64) / col_scale
     with np.errstate(divide='ignore', invalid='ignore'):
         z = np.where(bse > 0, beta / bse, np.nan)
     pvalues = 2 * stats.norm.sf(np.abs(z))

@@ -687,6 +687,47 @@ def _section_mi_summary(mi_summary: pd.DataFrame,
     return "\n".join(lines) + "\n"
 
 
+def _section_surrogate_null_engine(metadata_list) -> str:
+    """Methods note on the cohort surrogate-null engine(s) used.
+
+    Consumes ``result['metadata']`` dicts from
+    :func:`mba_tpu.ops.cohort_null.cohort_msc_null` runs.  When the
+    rotation engine ran (study-scale window counts where O(n_surrogates)
+    full-FFT cohort passes are unaffordable), its measured sensitivity
+    cost — the documented detection limit from BENCH_NULL_POWER.json —
+    is carried into the report so readers of the statistics know the
+    80%-power detectable-coupling floor sits ≤11% above the exact
+    engine's.
+    """
+    if not metadata_list:
+        return ""
+    if isinstance(metadata_list, dict):
+        metadata_list = [metadata_list]
+    lines = ["## Surrogate-Null Engine (Methods)\n",
+             "| Run | Engine | Selection |", "|---|---|---|"]
+    notes = []
+    for i, md in enumerate(metadata_list, start=1):
+        choice = md.get("engine_choice", {}) or {}
+        engine = choice.get("method_run", md.get("method", "—"))
+        requested = choice.get("method_requested", "—")
+        est = choice.get("estimated_fft_flops")
+        budget = choice.get("fft_flop_budget")
+        sel = (f"requested `{requested}`"
+               + (f", est. exact-FFT cost {est:.2e} flops"
+                  f" vs budget {budget:.2e}"
+                  if est is not None and budget is not None else ""))
+        lines.append(f"| {md.get('label', f'run {i}')} | `{engine}` "
+                     f"| {sel} |")
+        note = md.get("sensitivity_note")
+        if note and note not in notes:
+            notes.append(note)
+    if notes:
+        lines.append("\n**Detection limit** (measured, "
+                     "BENCH_NULL_POWER.json):\n")
+        lines += [f"> {n}" for n in notes]
+    return "\n".join(lines) + "\n"
+
+
 def _print_pipeline_recommendations(res, power, influence, cbpa, alpha,
                                     primary_n_segments,
                                     resolution_segments, cfg) -> None:
@@ -737,7 +778,8 @@ def generate_statistical_report(
         fdr_levels_to_correct: list[int] | None = None,
         fdr_group_by_dv: bool = True,
         n_subjects: int | None = None,
-        sample_size_predictors: list[str] | None = None) -> Path:
+        sample_size_predictors: list[str] | None = None,
+        surrogate_null_metadata=None) -> Path:
     """Generate the Markdown report (reference :2115-2353)."""
     if fdr_levels_to_correct:
         needs = "p_value_fdr" not in omnibus_results_frame.columns
@@ -807,6 +849,9 @@ def generate_statistical_report(
                 omnibus_diagnostics_frame, cfg, n_subjects,
                 sample_size_predictors))
 
+    if surrogate_null_metadata:
+        lines.append(_section_surrogate_null_engine(
+            surrogate_null_metadata))
     if (subject_clusters_frame is not None
             and not subject_clusters_frame.empty):
         lines.append(_section_subject_clusters(subject_clusters_frame))
