@@ -448,10 +448,12 @@ def kernel_batched_reml():
         float(fn(Xd, Y, gidx, counts))
 
     sec = _time_reps(run)
-    # golden-section iterations (~40) x per-iter GLS solve O(B*(n*p + p^3))
-    iters = 40
-    fl = iters * B * (2.0 * n * p * p + 2.0 * p ** 3 + 8.0 * n)
-    by = 4.0 * (B * n + n * p) * iters          # Y re-read per iteration
+    # one O(n·p) sufficient-stats pass + n_levels·n_grid criterion
+    # evals of O(G·p² + p³) each (models/lme.py grid search)
+    evals = 3 * 17 + 1
+    fl = (B * (4.0 * n * p + 2.0 * n)
+          + evals * B * (2.0 * G * p * p + 2.0 * p ** 3 + 8.0 * G))
+    by = 4.0 * (B * n + n * p)                  # Y read once (suff. stats)
     return sec, fl, by, f"batched REML ({B} refits)"
 
 
